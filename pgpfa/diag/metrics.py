@@ -1,0 +1,64 @@
+"""Fit-quality metrics (host-side NumPy; diagnostics, not a hot path).
+
+Reference counterparts: ``subspaceAngle`` (``funs/util.py:338-367``),
+``JSLogdetDiv`` (``funs/util.py:21-22``), ``getMeanCovYfromParams``
+(``funs/util.py:24-39``).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import scipy.linalg as sla
+
+
+def subspace_angle(F: np.ndarray, G: np.ndarray) -> float:
+    """Largest principal angle between the column spaces of F and G.
+
+    Columns are max-normalized before orthonormalization, matching the
+    reference's preprocessing (``funs/util.py:348-354``).
+    """
+    F = np.asarray(F, dtype=float).copy()
+    G = np.asarray(G, dtype=float).copy()
+    F = F / F.max(axis=0, keepdims=True)
+    G = G / G.max(axis=0, keepdims=True)
+    qf = sla.orth(F)
+    qg = sla.orth(G)
+    s = sla.svd(qf.T @ qg, compute_uv=False)
+    s = np.minimum(s, 1.0)
+    return float(np.max(np.maximum(np.arccos(s), 0.0)))
+
+
+def js_logdet_div(X: np.ndarray, Y: np.ndarray) -> float:
+    """Jensen-Shannon-style log-determinant divergence between SPD matrices."""
+    return float(np.log(np.linalg.det((X + Y) / 2.0)) - 0.5 * np.log(np.linalg.det(X @ Y)))
+
+
+def mean_cov_y_from_params(params) -> tuple:
+    """Model-implied per-bin spike-count mean and second moment.
+
+    Log-normal-Poisson moments with ``Lambda = C C^T``::
+
+        E[y_n]     = exp(Lambda_nn / 2 + d_n)
+        E[y_n y_m] = E[y_n] E[y_m] exp(Lambda_nm / 2)   (n != m)
+        E[y_n^2]   = E[y_n] + exp(Lambda_nn / 2) E[y_n]^2
+
+    (reference ``funs/util.py:24-39``).
+    """
+    C = np.asarray(params["C"])
+    d = np.asarray(params["d"]).reshape(-1)
+    lam = C @ C.T
+    ey = np.exp(0.5 * np.diag(lam) + d)
+    eyy = np.outer(ey, ey) * np.exp(0.5 * lam)
+    np.fill_diagonal(eyy, ey + np.exp(0.5 * np.diag(lam)) * ey**2)
+    return ey, eyy
+
+
+def orthonormalized_trajectories(C: np.ndarray, means: np.ndarray) -> np.ndarray:
+    """SVD-orthonormalized latent trajectories (reference ``funs/engine.py:515-521``).
+
+    Args:
+        means: posterior means ``(R, xdim, T)``.
+    """
+    _, D, Vt = sla.svd(np.asarray(C), full_matrices=False)
+    M = np.diag(D) @ Vt
+    return np.einsum("kl,rlt->rkt", M, np.asarray(means))

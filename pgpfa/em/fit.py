@@ -1,0 +1,632 @@
+"""EM drivers: fused ``lax.scan`` fit and the reference-compatible fit class.
+
+Reference: ``engine.PPGPFAfit`` (``funs/engine.py:26-481``) — a constructor
+that runs the whole fit with a Python EM loop, per-trial scipy optimizers and
+six online parameter-update rules.
+
+TPU-native redesign:
+
+* :func:`fit` — the entire EM loop (batch or online) is ONE jitted
+  ``lax.scan`` program: E-step = vmapped Newton / dual L-BFGS, M-step =
+  jittable L-BFGS + per-latent Newton, minibatch subsampling via
+  ``jax.random`` inside the scan. This is the performance path used by
+  ``bench.py`` and the multi-chip entry point.
+* :class:`PPGPFAfit` — a thin host-side class around the same jitted step
+  functions, preserving the reference's attribute surface (``optimParams``,
+  ``paramSeq``, ``infRes``, ``posteriorLikelihood``, ``variationalLowerBound``,
+  ``inferenceTime``/``learningTime``, plot methods, ...). Numerics are
+  identical to :func:`fit` because both call the same step functions.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from functools import partial
+from typing import NamedTuple, Optional
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from pgpfa.data.synthetic import stack_experiment
+from pgpfa.infer.laplace import InfRes, laplace_estep_from_arrays
+from pgpfa.infer.variational import vi_estep_from_arrays
+from pgpfa.learn.mstep_gp import learn_tau
+from pgpfa.learn.mstep_obs import (
+    cd_cost,
+    cd_hessian,
+    learn_cd,
+    update_d_closed_form,
+)
+from pgpfa.models.params import Params, pack_cd, unpack_cd
+
+BATCH = "batch"
+ONLINE = "online"
+ONLINE_UPDATE_METHODS = (
+    "balancingGamma",
+    "sequentialAverage",
+    "fullyUpdateAll",
+    "hess",
+    "diag",
+    "grad",
+)
+
+
+@dataclasses.dataclass(frozen=True)
+class FitConfig:
+    """Static fit configuration (hashable; closed over by jit).
+
+    Mirrors the reference's ``PPGPFAfit`` keyword surface
+    (``funs/engine.py:107-128``) with snake_case names.
+    """
+
+    inference_method: str = "laplace"  # 'laplace' | 'variational'
+    em_mode: str = BATCH  # 'batch' | 'online'
+    max_em_iter: int = 50
+    batch_size: int = 5  # online minibatch (trials)
+    online_update: str = "diag"  # one of ONLINE_UPDATE_METHODS
+    step_pow: float = 0.75  # online step-size schedule 1/n^step_pow
+    update_cd_jointly: bool = True
+    fully_update_tau: bool = False
+    # inner-optimizer knobs
+    newton_gtol: float = 1e-8
+    newton_maxiter: int = 100
+    cd_maxiter: int = 500
+    cd_tol: float = 1e-9
+    tau_maxiter: int = 100
+    vi_maxiter: int = 1000
+    vi_gtol: float = 1e-8
+    eps_noise: float = 0.001
+
+    def __post_init__(self):
+        if self.inference_method not in ("laplace", "variational"):
+            raise ValueError(f"unknown inference_method {self.inference_method!r}")
+        if self.em_mode not in (BATCH, ONLINE):
+            raise ValueError(f"unknown em_mode {self.em_mode!r}")
+        if self.online_update not in ONLINE_UPDATE_METHODS:
+            raise ValueError(f"unknown online_update {self.online_update!r}")
+
+
+class FitResult(NamedTuple):
+    """History of a fit. Leading axis of the sequences = EM iteration."""
+
+    C: jnp.ndarray  # final (ydim, xdim)
+    d: jnp.ndarray  # final (ydim,)
+    tau: jnp.ndarray  # final (xdim,)
+    C_seq: jnp.ndarray  # (iters, ydim, xdim) params AFTER each M-step
+    d_seq: jnp.ndarray
+    tau_seq: jnp.ndarray
+    post_loglik: jnp.ndarray  # (iters,)
+    var_lower_bound: jnp.ndarray  # (iters,) zeros for laplace
+    cd_cost: jnp.ndarray  # (iters,)
+    tau_cost: jnp.ndarray  # (iters, xdim)
+
+
+# --------------------------------------------------------------------------
+# shared step functions
+# --------------------------------------------------------------------------
+
+
+def _estep(C, d, tau, Y, T, bin_size_ms, warm, cfg: FitConfig, compute_cov: bool = False):
+    """Dispatch on inference method. Returns (inf, pll, vlb, warm_new)."""
+    if cfg.inference_method == "laplace":
+        inf, pll = laplace_estep_from_arrays(
+            C, d, tau, Y, T, bin_size_ms,
+            x_init=warm, gtol=cfg.newton_gtol, maxiter=cfg.newton_maxiter,
+            compute_cov=compute_cov, eps_noise=cfg.eps_noise,
+        )
+        return inf, pll, jnp.zeros_like(pll), inf.post_mean
+    inf, pll, vlb, rho = vi_estep_from_arrays(
+        C, d, tau, Y, T, bin_size_ms,
+        rho_init=warm, gtol=cfg.vi_gtol, maxiter=cfg.vi_maxiter,
+        compute_cov=compute_cov, eps_noise=cfg.eps_noise,
+    )
+    return inf, pll, vlb, rho
+
+
+def _mstep_full(C, d, tau, Y, inf: InfRes, bin_size_ms, cfg: FitConfig):
+    """Unregularized M-step (batch EM; reference ``funs/learning.py:295-309``)."""
+    cd = learn_cd(Y, inf.post_mean, inf.post_vsm, C, d,
+                  maxiter=cfg.cd_maxiter, tol=cfg.cd_tol)
+    tr = learn_tau(inf.post_mean, inf.post_vsm_gp, tau, bin_size_ms,
+                   eps=cfg.eps_noise, maxiter=cfg.tau_maxiter)
+    return cd, tr
+
+
+def _online_mstep(n, C, d, tau, Yb, inf: InfRes, bin_size_ms, cfg: FitConfig, P, cumH):
+    """One online M-step; returns (C', d', tau', P', cumH', cd_cost, tau_cost).
+
+    Implements the six update rules of the reference engine
+    (``funs/engine.py:316-399``); ``n`` is the (traced) EM iteration index.
+    """
+    method = cfg.online_update
+    nf = n.astype(C.dtype) if hasattr(n, "astype") else jnp.asarray(n, dtype=C.dtype)
+    # schedules (reference funs/engine.py:275-278)
+    gamma = nf / max(cfg.max_em_iter - 1, 1)  # linspace(0, 1, maxEMiter)[n]
+    stepsize = 1.0 / (nf + 1.0) ** cfg.step_pow
+
+    if method in ("balancingGamma", "sequentialAverage", "fullyUpdateAll"):
+        cd, tr = _mstep_full(C, d, tau, Yb, inf, bin_size_ms, cfg)
+        if method == "balancingGamma":
+            mix = gamma
+        elif method == "sequentialAverage":
+            mix = jnp.asarray(0.5, dtype=C.dtype)
+        else:
+            mix = jnp.asarray(0.0, dtype=C.dtype)
+        newC = mix * C + (1.0 - mix) * cd.C
+        newd = mix * d + (1.0 - mix) * cd.d
+        newtau = mix * tau + (1.0 - mix) * tr.tau
+        return newC, newd, newtau, P, cumH, cd.cost, tr.cost, tr.tau
+
+    # proximal / Newton methods ('hess' | 'diag' | 'grad')
+    tr = learn_tau(
+        inf.post_mean, inf.post_vsm_gp, tau, bin_size_ms,
+        prior=(tau, stepsize), eps=cfg.eps_noise, maxiter=cfg.tau_maxiter,
+    )
+
+    if cfg.update_cd_jointly:
+        v_old = pack_cd(C, d)
+        if method == "diag":
+            P_new = jnp.eye(v_old.shape[0], dtype=C.dtype) / stepsize**2
+            cd = learn_cd(Yb, inf.post_mean, inf.post_vsm, C, d,
+                          prior=(P_new, v_old), maxiter=cfg.cd_maxiter, tol=cfg.cd_tol)
+            newC, newd, cost = cd.C, cd.d, cd.cost
+        elif method == "hess":
+            # exact-autodiff replacement for the reference's finite-difference
+            # Hessian (funs/learning.py:545-549); the accumulated curvature is
+            # the Gaussian-prior precision for the next step.
+            H = cd_hessian(v_old, Yb, inf.post_mean, inf.post_vsm)
+            P_new = H + P
+            cd = learn_cd(Yb, inf.post_mean, inf.post_vsm, C, d,
+                          prior=(P_new, v_old), maxiter=cfg.cd_maxiter, tol=cfg.cd_tol)
+            newC, newd, cost = cd.C, cd.d, cd.cost
+        else:  # 'grad': one damped Newton step (funs/learning.py:875-891)
+            g = jax.grad(cd_cost)(v_old, Yb, inf.post_mean, inf.post_vsm)
+            H = cd_hessian(v_old, Yb, inf.post_mean, inf.post_vsm)
+            v_new = v_old - stepsize * jnp.linalg.solve(H, g)
+            newC, newd = unpack_cd(v_new, C.shape[1], C.shape[0])
+            cost = cd_cost(v_new, Yb, inf.post_mean, inf.post_vsm)
+            P_new = P
+            cumH = cumH + H
+    else:
+        # closed-form d, then C-only update (reference funs/learning.py:634-676)
+        newd = update_d_closed_form(Yb, inf.post_mean, inf.post_vsm, C)
+        vC_old = C.T.reshape(-1)
+
+        def c_cost(vC):
+            return cd_cost(jnp.concatenate([vC, newd]), Yb, inf.post_mean, inf.post_vsm)
+
+        if method == "diag":
+            P_new = jnp.eye(vC_old.shape[0], dtype=C.dtype) / stepsize**2
+        elif method == "hess":
+            P_new = jax.hessian(c_cost)(vC_old) + P
+        else:
+            P_new = P
+        if method == "grad":
+            g = jax.grad(c_cost)(vC_old)
+            H = jax.hessian(c_cost)(vC_old)
+            vC_new = vC_old - stepsize * jnp.linalg.solve(H, g)
+            cumH = cumH + H
+        else:
+            from pgpfa.utils.optim import minimize_lbfgs
+
+            fun = lambda v: c_cost(v) + 0.5 * (v - vC_old) @ (P_new @ (v - vC_old))
+            res = minimize_lbfgs(fun, vC_old, maxiter=cfg.cd_maxiter, tol=cfg.cd_tol)
+            vC_new = res.x
+        newC = vC_new.reshape(C.shape[1], C.shape[0]).T
+        cost = c_cost(vC_new)
+
+    return newC, newd, tr.tau, P_new, cumH, cost, tr.cost, tr.tau
+
+
+def _prior_dim(cfg: FitConfig, xdim: int, ydim: int) -> int:
+    return xdim * ydim + ydim if cfg.update_cd_jointly else xdim * ydim
+
+
+# --------------------------------------------------------------------------
+# fused scan fit
+# --------------------------------------------------------------------------
+
+
+@partial(jax.jit, static_argnames=("T", "bin_size_ms", "cfg"))
+def _fit_scan(C0, d0, tau0, Y, T: int, bin_size_ms: float, cfg: FitConfig, key):
+    R, ydim, _ = Y.shape
+    xdim = C0.shape[1]
+
+    if cfg.em_mode == BATCH:
+        if cfg.inference_method == "laplace":
+            warm0 = jnp.zeros((R, xdim, T), dtype=C0.dtype)
+        else:
+            warm0 = jnp.zeros((R, ydim, T), dtype=C0.dtype)
+
+        def step(carry, _):
+            C, d, tau, warm = carry
+            # warm0 = zeros matches the reference's first-iteration init
+            # (funs/inference.py:99-102); later iterations warm-start from the
+            # previous modes (funs/engine.py:184-196).
+            inf, pll, vlb, warm_new = _estep(C, d, tau, Y, T, bin_size_ms, warm, cfg)
+            cd, tr = _mstep_full(C, d, tau, Y, inf, bin_size_ms, cfg)
+            out = (cd.C, cd.d, tr.tau, pll, vlb, cd.cost, tr.cost)
+            return (cd.C, cd.d, tr.tau, warm_new), out
+
+        carry0 = (C0, d0, tau0, warm0)
+        (C, d, tau, _), seq = jax.lax.scan(step, carry0, None, length=cfg.max_em_iter)
+    else:
+        pdim = _prior_dim(cfg, xdim, ydim)
+        P0 = jnp.eye(pdim, dtype=C0.dtype)
+        cumH0 = jnp.eye(pdim, dtype=C0.dtype)
+
+        def step(carry, n):
+            C, d, tau, P, cumH, k = carry
+            k, sub = jax.random.split(k)
+            idx = jax.random.choice(sub, R, shape=(cfg.batch_size,), replace=False)
+            Yb = jnp.take(Y, idx, axis=0)
+            inf, pll, vlb, _ = _estep(C, d, tau, Yb, T, bin_size_ms, None, cfg)
+            newC, newd, newtau, P, cumH, cost, tcost, full_tau = _online_mstep(
+                n, C, d, tau, Yb, inf, bin_size_ms, cfg, P, cumH
+            )
+            if cfg.fully_update_tau:
+                newtau = full_tau
+            out = (newC, newd, newtau, pll, vlb, cost, tcost)
+            return (newC, newd, newtau, P, cumH, k), out
+
+        carry0 = (C0, d0, tau0, P0, cumH0, key)
+        (C, d, tau, _, _, _), seq = jax.lax.scan(
+            step, carry0, jnp.arange(cfg.max_em_iter)
+        )
+
+    C_seq, d_seq, tau_seq, pll, vlb, cdc, tc = seq
+    return FitResult(
+        C=C, d=d, tau=tau,
+        C_seq=C_seq, d_seq=d_seq, tau_seq=tau_seq,
+        post_loglik=pll, var_lower_bound=vlb, cd_cost=cdc, tau_cost=tc,
+    )
+
+
+def fit(
+    init_params,
+    Y,
+    bin_size_ms: float,
+    config: Optional[FitConfig] = None,
+    seed: int = 0,
+) -> FitResult:
+    """Run a full EM fit as one compiled program.
+
+    Args:
+        init_params: dict ``{'C','d','tau'}`` or :class:`Params`.
+        Y: spike counts ``(R, ydim, T)``.
+        bin_size_ms: bin width in milliseconds.
+        config: :class:`FitConfig` (defaults to batch Laplace EM).
+        seed: RNG seed for online-EM minibatch subsampling.
+    """
+    cfg = config or FitConfig()
+    p = init_params if isinstance(init_params, Params) else Params.from_dict(init_params)
+    Y = jnp.asarray(Y, dtype=p.C.dtype)
+    T = Y.shape[-1]
+    key = jax.random.PRNGKey(seed)
+    return _fit_scan(p.C, p.d, p.tau, Y, T, float(bin_size_ms), cfg, key)
+
+
+# --------------------------------------------------------------------------
+# reference-compatible class driver
+# --------------------------------------------------------------------------
+
+
+class PPGPFAfit:
+    """Poisson-GPFA fit with the reference's attribute surface.
+
+    Accepts the same call pattern as the reference engine
+    (``funs/engine.py:107-128``): construction runs the fit. Internally every
+    E-/M-step is the same jitted function used by :func:`fit`; this class adds
+    per-iteration wall-clock accounting and host-side histories.
+    """
+
+    def __init__(
+        self,
+        experiment,
+        initParams=None,
+        xdim: int = 2,
+        inferenceMethod: str = "laplace",
+        maxEMiter: int = 50,
+        EMmode: str = "Batch",
+        batchSize: int = 5,
+        onlineParamUpdateMethod: str = "diag",
+        stepPow: float = 0.75,
+        updateCdJointly: bool = True,
+        fullyUpdateTau: bool = False,
+        extractAllTraj: bool = False,
+        extractAllTraj_trueParams: bool = False,
+        getPredictionErr: bool = False,
+        seed: int = 0,
+        verbose: bool = False,
+        config: Optional[FitConfig] = None,
+    ):
+        self.experiment = experiment
+        Y = stack_experiment(experiment)
+        R, ydim, T = Y.shape
+        if initParams is None:
+            from pgpfa.data.init import initialize_params
+
+            initParams = initialize_params(xdim, ydim, experiment, seed=seed)
+        else:
+            xdim = np.shape(initParams["C"])[1]
+
+        cfg = config or FitConfig(
+            inference_method=inferenceMethod,
+            em_mode=EMmode.lower(),
+            max_em_iter=maxEMiter,
+            batch_size=batchSize,
+            online_update=onlineParamUpdateMethod,
+            step_pow=stepPow,
+            update_cd_jointly=updateCdJointly,
+            fully_update_tau=fullyUpdateTau,
+        )
+        self.config = cfg
+
+        p = Params.from_dict(initParams)
+        Yj = jnp.asarray(Y, dtype=p.C.dtype)
+        bin_size_ms = float(experiment.binSize)
+        key = jax.random.PRNGKey(seed)
+
+        estep = jax.jit(
+            lambda C, d, tau, Yb, warm: _estep(C, d, tau, Yb, T, bin_size_ms, warm, cfg)
+        )
+        mstep_batch = jax.jit(
+            lambda C, d, tau, inf: _mstep_full(C, d, tau, Yj, inf, bin_size_ms, cfg)
+        )
+        mstep_online = jax.jit(
+            lambda n, C, d, tau, Yb, inf, P, cumH: _online_mstep(
+                n, C, d, tau, Yb, inf, bin_size_ms, cfg, P, cumH
+            )
+        )
+
+        C, d, tau = p.C, p.d, p.tau
+        warm = None
+        pdim = _prior_dim(cfg, xdim, ydim)
+        P = jnp.eye(pdim, dtype=C.dtype)
+        cumH = jnp.eye(pdim, dtype=C.dtype)
+
+        posteriorLikelihood, variationalLowerBound = [], []
+        learningDetails, paramSeq = [], [dict(initParams)]
+        inferenceTime, learningTime = [], []
+        seenTrialIdx = []
+        inf = None
+
+        for n in range(cfg.max_em_iter):
+            t0 = time.time()
+            if cfg.em_mode == BATCH:
+                Yb = Yj
+            else:
+                key, sub = jax.random.split(key)
+                idx = jax.random.choice(sub, R, shape=(cfg.batch_size,), replace=False)
+                seenTrialIdx.append(np.asarray(idx))
+                Yb = jnp.take(Yj, idx, axis=0)
+                warm = None
+            inf, pll, vlb, warm = estep(C, d, tau, Yb, warm)
+            pll.block_until_ready()
+            inferenceTime.append(time.time() - t0)
+            posteriorLikelihood.append(float(pll))
+            if cfg.inference_method == "variational":
+                variationalLowerBound.append(float(vlb))
+
+            t0 = time.time()
+            if cfg.em_mode == BATCH:
+                cd, tr = mstep_batch(C, d, tau, inf)
+                C, d, tau = cd.C, cd.d, tr.tau
+                cd_c, tau_c = cd.cost, tr.cost
+            else:
+                C, d, tau, P, cumH, cd_c, tau_c, full_tau = mstep_online(
+                    jnp.asarray(n), C, d, tau, Yb, inf, P, cumH
+                )
+                if cfg.fully_update_tau:
+                    tau = full_tau
+            tau.block_until_ready()
+            learningTime.append(time.time() - t0)
+            learningDetails.append(
+                {"Cd": float(cd_c), "tau": np.asarray(tau_c)}
+            )
+            paramSeq.append({"C": np.asarray(C), "d": np.asarray(d), "tau": np.asarray(tau)})
+            if verbose:
+                msg = f"Iteration: {n + 1:3d} of {cfg.max_em_iter:3d}, nPLL: = {float(pll):.4f}"
+                if cfg.inference_method == "variational":
+                    msg += f", VLB = {float(vlb):.4f}"
+                print(msg)
+
+        # result attributes (reference funs/engine.py:452-474)
+        self.xdim, self.ydim, self.T, self.numTrials = xdim, ydim, T, R
+        self.trialDur = getattr(experiment, "trialDur", T * bin_size_ms)
+        self.binSize = bin_size_ms
+        self.maxEMiter = cfg.max_em_iter
+        self.EMmode = "Batch" if cfg.em_mode == BATCH else "Online"
+        self.inferenceMethod = cfg.inference_method
+        self.initParams = dict(initParams)
+        self.paramSeq = paramSeq
+        self.posteriorLikelihood = posteriorLikelihood
+        self.variationalLowerBound = variationalLowerBound
+        self.learningDetails = learningDetails
+        self.optimParams = {"C": np.asarray(C), "d": np.asarray(d), "tau": np.asarray(tau)}
+        self.infRes = inf.to_reference_dict()
+        self._inf = inf
+        self.seenTrialIdx = seenTrialIdx
+        self.learningTime = np.asarray(learningTime)
+        self.inferenceTime = np.asarray(inferenceTime)
+        self._Y = Y
+
+        self.processParamResults()
+        self.performSpikeCountAnalysis()
+        if extractAllTraj:
+            self.extractTrajectories()
+        if extractAllTraj_trueParams:
+            self.extractTrajWithTrueParams()
+        if getPredictionErr:
+            self.leaveOneOutPrediction()
+
+    # -- post-processing (reference funs/engine.py:483-644) ------------------
+
+    def processParamResults(self):
+        from pgpfa.diag.metrics import subspace_angle
+
+        it = self.maxEMiter
+        self.tauSeq = np.stack([self.paramSeq[i]["tau"] for i in range(it)], axis=1)
+        est = np.zeros((self.ydim, it))
+        for i in range(it):
+            Ci, di = self.paramSeq[i]["C"], self.paramSeq[i]["d"]
+            est[:, i] = self.T * np.exp(0.5 * np.diag(Ci @ Ci.T) + di)
+        self.expectedSpikeCountsEst = est
+        self.expectedSpikeCountsEstVar = est.var(axis=0)
+        self.sampleMeanSpikeCounts = self._Y.sum(axis=2).mean(axis=0)
+        self.sampleMeanSpikeCountsVar = float(np.var(self.sampleMeanSpikeCounts))
+        self.meanSquaredErrorOverTrueVariance_SM = [
+            float(
+                np.sum((est[:, i] - self.sampleMeanSpikeCounts) ** 2)
+                / self.numTrials
+                / self.sampleMeanSpikeCountsVar
+            )
+            for i in range(it)
+        ]
+        self.varESpkCountSampleMean_Ratios = (
+            self.expectedSpikeCountsEstVar / self.sampleMeanSpikeCountsVar
+        )
+        if hasattr(self.experiment, "params"):
+            Ct = self.experiment.params["C"]
+            dt = np.ravel(self.experiment.params["d"])
+            true_est = self.T * np.exp(0.5 * np.diag(Ct @ Ct.T) + dt)
+            self.expectedSpikeCountsTrue = true_est
+            self.expectedSpikeCountsTrueVar = float(np.var(true_est))
+            self.varESpkCountTrue_Ratios = (
+                self.expectedSpikeCountsEstVar / self.expectedSpikeCountsTrueVar
+            )
+            self.subspaceAngleC = [
+                subspace_angle(Ct, self.paramSeq[i]["C"]) for i in range(it)
+            ]
+        self.CabsoluteValue = np.asarray(
+            [np.sum(self.paramSeq[i]["C"] ** 2) for i in range(it)]
+        )
+
+    def performSpikeCountAnalysis(self):
+        from pgpfa.diag.metrics import js_logdet_div, mean_cov_y_from_params
+
+        ey_i, eyy_i = mean_cov_y_from_params(self.initParams)
+        ey_o, eyy_o = mean_cov_y_from_params(self.optimParams)
+        raster = np.concatenate([self._Y[r] for r in range(self.numTrials)], axis=1)
+        ey_obs = raster.mean(axis=1)
+        eyy_obs = np.cov(raster)
+        self.E_y_init_params, self.E_yy_init_params = ey_i, eyy_i
+        self.E_y_optim_params, self.E_yy_optim_params = ey_o, eyy_o
+        self.E_y_obs, self.E_yy_obs = ey_obs, eyy_obs
+        nrm = np.linalg.norm(eyy_obs)
+        self.mean_err_optim_obs = float(
+            np.sum((ey_obs - ey_o) ** 2) / np.var(ey_obs) / self.numTrials
+        )
+        self.mean_err_init_obs = float(
+            np.sum((ey_obs - ey_i) ** 2) / np.var(ey_obs) / self.numTrials
+        )
+        self.cov_err_optim_obs = float(np.linalg.norm(eyy_obs - eyy_o) / nrm)
+        self.cov_err_init_obs = float(np.linalg.norm(eyy_obs - eyy_i) / nrm)
+        self.JSdiv_cov_optim_obs = js_logdet_div(eyy_o, eyy_obs)
+        self.JSdiv_cov_init_obs = js_logdet_div(eyy_i, eyy_obs)
+        if hasattr(self.experiment, "params"):
+            ey_t, eyy_t = mean_cov_y_from_params(self.experiment.params)
+            self.E_y_true_params, self.E_yy_true_params = ey_t, eyy_t
+            self.mean_err_optim_true = float(
+                np.sum((ey_t - ey_o) ** 2) / np.var(ey_t) / self.numTrials
+            )
+            self.mean_err_init_true = float(
+                np.sum((ey_t - ey_i) ** 2) / np.var(ey_t) / self.numTrials
+            )
+            self.cov_err_optim_true = float(np.linalg.norm(eyy_t - eyy_o) / nrm)
+            self.cov_err_init_true = float(np.linalg.norm(eyy_t - eyy_i) / nrm)
+            self.JSdiv_cov_optim_true = js_logdet_div(eyy_o, eyy_t)
+            self.JSdiv_cov_init_true = js_logdet_div(eyy_i, eyy_t)
+
+    def orthonormalizeTrajectories(self):
+        from pgpfa.diag.metrics import orthonormalized_trajectories
+
+        self.x_tilde = orthonormalized_trajectories(
+            self.optimParams["C"], self._inf.post_mean
+        )
+
+    def extractTrajectories(self, method: Optional[str] = None):
+        """Re-infer all trials with the optimal params (reference
+        ``funs/engine.py:523-532``)."""
+        inf, pll, vlb, _ = _estep(
+            jnp.asarray(self.optimParams["C"]),
+            jnp.asarray(self.optimParams["d"]),
+            jnp.asarray(self.optimParams["tau"]),
+            jnp.asarray(self._Y, dtype=jnp.asarray(self.optimParams["C"]).dtype),
+            self.T,
+            float(self.binSize),
+            None,
+            self.config if method is None else dataclasses.replace(self.config, inference_method=method),
+        )
+        self._inf = inf
+        self.infRes = inf.to_reference_dict()
+        self.nll_all_traj = float(pll)
+        if self.inferenceMethod == "variational":
+            self.vlb_all_traj = float(vlb)
+
+    def extractTrajWithTrueParams(self, method: Optional[str] = None):
+        p = self.experiment.params
+        inf, pll, vlb, _ = _estep(
+            jnp.asarray(p["C"]),
+            jnp.asarray(np.ravel(p["d"])),
+            jnp.asarray(np.ravel(p["tau"])),
+            jnp.asarray(self._Y, dtype=jnp.asarray(p["C"]).dtype),
+            self.T,
+            float(self.binSize),
+            None,
+            self.config if method is None else dataclasses.replace(self.config, inference_method=method),
+        )
+        self.infRes_trueParams = inf.to_reference_dict()
+        self.nll_trueParams_all_traj = float(pll)
+
+    def leaveOneOutPrediction(self):
+        from pgpfa.diag.loo import leave_one_out_prediction
+
+        self.y_pred_mode, self.pred_err_mode = leave_one_out_prediction(
+            self.optimParams, self._Y, float(self.binSize)
+        )
+
+    # -- plots ---------------------------------------------------------------
+
+    def plotTrajectory(self, trial: int = 0):
+        from pgpfa.diag.plotting import plot_fit_trajectory
+
+        return plot_fit_trajectory(self, trial)
+
+    def plotTrajectories(self):
+        from pgpfa.diag.plotting import plot_fit_trajectories
+
+        return plot_fit_trajectories(self)
+
+    def plotParamSeq(self):
+        from pgpfa.diag.plotting import plot_param_seq
+
+        return plot_param_seq(self)
+
+    def plotFitDetails(self):
+        from pgpfa.diag.plotting import plot_fit_details
+
+        return plot_fit_details(self)
+
+    def plotOptimParams(self):
+        from pgpfa.diag.plotting import plot_optim_params
+
+        return plot_optim_params(self)
+
+    def plotParamComparison(self):
+        from pgpfa.diag.plotting import plot_param_comparison
+
+        return plot_param_comparison(self)
+
+    def plotCovAnalysis(self):
+        from pgpfa.diag.plotting import plot_cov_analysis
+
+        return plot_cov_analysis(self)
+
+    def plotLNOprediction(self, trialToPlot: int = 0, neuronToPlot: int = 0):
+        from pgpfa.diag.plotting import plot_lno_prediction
+
+        return plot_lno_prediction(self, trialToPlot, neuronToPlot)

@@ -1,0 +1,131 @@
+"""Dual variational E-step.
+
+Reference (``funs/inference.py:188-432``): per trial, optimize the dual
+variable ``lambda in R^{ydim*T}`` of the variational Gaussian posterior with
+bounded L-BFGS-B (or unconstrained in ``rho = log lambda``). Posterior mean is
+``-K C_big (lambda - ybar)``; posterior precision is
+``K^{-1} + C_big diag(lambda) C_big^T`` (plus a 1e-6 relative diagonal ridge).
+
+TPU-native redesign: the unconstrained ``rho``-parametrization (the
+reference's own alternative at ``funs/inference.py:222-256,352-399``) is the
+primary path so the solve is an unconstrained L-BFGS that jits; trials are
+vmapped so every cost evaluation is a batched structured-precision Cholesky.
+Box-bounded L-BFGS-B has no jit-native equivalent — parity is asserted on the
+converged variational bound, not on lambda iterates (SURVEY.md §7 hard part 4).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from pgpfa.infer.laplace import InfRes
+from pgpfa.models.params import Params, rbf_kernel
+from pgpfa.models.poisson_gpfa import neg_log_posterior
+from pgpfa.ops.blockmat import assemble_hessian, blocks_inv, chol_logdet, cov_views, inv_psd
+from pgpfa.utils.optim import minimize_lbfgs
+
+
+def _posterior_precision(lam, C, Kinv, ridge=1e-6):
+    """Structured posterior precision + relative diagonal ridge
+    (reference ``funs/inference.py:188-191``)."""
+    W = jnp.einsum("nt,nk,nl->tkl", lam, C, C)
+    prec = assemble_hessian(W, Kinv)
+    return prec + ridge * jnp.diag(jnp.diag(prec))
+
+
+def dual_cost(rho, Y_tr, C, d, K, Kinv, ridge=1e-6):
+    """Dual objective in ``rho = log lambda`` space for one trial.
+
+    Matches the reference's ``dualProblemRho`` (``funs/inference.py:222-244``):
+    ``0.5 lmy^T Cb^T K Cb lmy - d^T lmy + 0.5 logdet(cov) + lam^T (rho - 1)``.
+
+    Args:
+        rho: ``(ydim, T)`` log dual variables.
+        Y_tr: counts ``(ydim, T)``.
+        K, Kinv: per-latent prior blocks ``(xdim, T, T)``.
+    """
+    lam = jnp.exp(rho)
+    lmy = lam - Y_tr
+    u = jnp.einsum("nk,nt->kt", C, lmy)  # C_big @ lmy in block form
+    a = 0.5 * jnp.einsum("kt,ktu,ku->", u, K, u)
+    b = -jnp.vdot(d, jnp.sum(lmy, axis=1))
+    prec = _posterior_precision(lam, C, Kinv, ridge)
+    c = -0.5 * chol_logdet(prec)  # = 0.5 * logdet(posterior covariance)
+    e = jnp.vdot(lam, rho - 1.0)
+    return a + b + c + e
+
+
+def vi_posterior_mean(rho, Y_tr, C, K):
+    """``-K C_big (lambda - ybar)`` in block form (reference ``funs/inference.py:193-194``)."""
+    lmy = jnp.exp(rho) - Y_tr
+    u = jnp.einsum("nk,nt->kt", C, lmy)
+    return -jnp.einsum("ktu,ku->kt", K, u)
+
+
+@partial(
+    jax.jit,
+    static_argnames=("compute_cov", "maxiter", "T", "bin_size_ms", "eps_noise"),
+)
+def vi_estep_from_arrays(
+    C,
+    d,
+    tau,
+    Y,
+    T: int,
+    bin_size_ms: float,
+    rho_init=None,
+    gtol: float = 1e-8,
+    maxiter: int = 1000,
+    compute_cov: bool = True,
+    eps_noise: float = 0.001,
+    ridge: float = 1e-6,
+):
+    """Batched dual variational inference over all trials.
+
+    Returns:
+        ``(InfRes, post_loglik, var_lower_bound, rho)`` mirroring the
+        reference's ``(varInfRes, -post_lik, var_lowerBound, varOptimRes)``
+        (``funs/inference.py:429-432``): ``post_loglik`` is minus the average
+        Laplace objective evaluated at the VI posterior means;
+        ``var_lower_bound`` is the average converged dual objective.
+    """
+    R, ydim, _ = Y.shape
+    xdim = C.shape[1]
+    K = rbf_kernel(tau, T, bin_size_ms, eps_noise)
+    Kinv = blocks_inv(K)
+
+    if rho_init is None:
+        rho_init = jnp.zeros((R, ydim, T), dtype=C.dtype)
+
+    def solve_trial(rho0, y_tr):
+        fun = lambda r: dual_cost(r, y_tr, C, d, K, Kinv, ridge)
+        res = minimize_lbfgs(fun, rho0, maxiter=maxiter, tol=gtol)
+        return res.x, res.fun
+
+    rho, bound = jax.vmap(solve_trial)(rho_init, Y)
+    means = jax.vmap(lambda r, y: vi_posterior_mean(r, y, C, K))(rho, Y)
+
+    def trial_cov(r):
+        return inv_psd(_posterior_precision(jnp.exp(r), C, Kinv, ridge))
+
+    cov = jax.vmap(trial_cov)(rho)
+    vsm, vsm_gp = jax.vmap(lambda c: cov_views(c, xdim, T))(cov)
+
+    obj = jax.vmap(lambda m, y: neg_log_posterior(m, y, C, d, Kinv))(means, Y)
+    res = InfRes(
+        post_mean=means,
+        post_vsm=vsm,
+        post_vsm_gp=vsm_gp,
+        post_cov=cov if compute_cov else None,
+        trial_obj=obj,
+        newton_iters=jnp.zeros((R,), dtype=jnp.int32),
+    )
+    return res, -jnp.mean(obj), jnp.mean(bound), rho
+
+
+def vi_estep(params: Params, Y, T: int, bin_size_ms: float, **kw):
+    """Convenience wrapper taking a :class:`Params` pytree."""
+    return vi_estep_from_arrays(params.C, params.d, params.tau, Y, T, bin_size_ms, **kw)

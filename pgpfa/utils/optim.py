@@ -1,0 +1,132 @@
+"""Jit-compatible unconstrained minimizers.
+
+The reference delegates every inner optimization to ``scipy.optimize``
+(Newton-CG / TNC / BFGS / L-BFGS-B; e.g. ``funs/inference.py:119-126``,
+``funs/learning.py:124-130,283-288``). Those host-side optimizers cannot run
+inside an XLA program, so the TPU build uses:
+
+* :func:`minimize_lbfgs` — optax's L-BFGS with zoom linesearch driven by a
+  ``lax.while_loop`` (fully jittable, vmap-able), used for the C,d M-step,
+  the GP-timescale M-step and the variational dual problem;
+* a damped-Newton loop implemented directly in the Laplace E-step (where the
+  exact Hessian solve is cheap thanks to the block structure).
+
+Parity with the reference is defined at converged objective values (see
+SURVEY.md §7 "Optimizer parity policy"), so the minimizers here run to tight
+gradient tolerances rather than replaying scipy's iterates.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import optax
+import optax.tree_utils as otu
+
+
+class MinimizeResult(NamedTuple):
+    x: jnp.ndarray
+    fun: jnp.ndarray
+    grad_norm: jnp.ndarray
+    niter: jnp.ndarray
+
+
+def minimize_lbfgs(
+    fun: Callable[[jnp.ndarray], jnp.ndarray],
+    x0: jnp.ndarray,
+    maxiter: int = 500,
+    tol: float = 1e-10,
+    memory_size: int = 15,
+) -> MinimizeResult:
+    """Minimize a smooth scalar function with L-BFGS (zoom linesearch).
+
+    Jittable and vmap-able. ``fun`` must be a pure function of a single array
+    (close over any other data).
+
+    Args:
+        fun: objective; returns a scalar.
+        x0: initial point (any array shape).
+        maxiter: iteration cap for the ``while_loop``.
+        tol: termination threshold on the gradient infinity-norm.
+
+    Returns:
+        :class:`MinimizeResult` with the final iterate, objective value,
+        gradient infinity-norm and iteration count.
+    """
+    opt = optax.lbfgs(memory_size=memory_size)
+    value_and_grad = optax.value_and_grad_from_state(fun)
+
+    def step(carry):
+        x, state = carry
+        value, grad = value_and_grad(x, state=state)
+        updates, state = opt.update(grad, state, x, value=value, grad=grad, value_fn=fun)
+        x = optax.apply_updates(x, updates)
+        return x, state
+
+    def cond(carry):
+        _, state = carry
+        count = otu.tree_get(state, "count")
+        grad = otu.tree_get(state, "grad")
+        gnorm = jnp.max(jnp.abs(grad))
+        return (count == 0) | ((count < maxiter) & (gnorm > tol) & jnp.isfinite(gnorm))
+
+    init = (x0, opt.init(x0))
+    x, state = jax.lax.while_loop(cond, step, init)
+    grad = otu.tree_get(state, "grad")
+    return MinimizeResult(
+        x=x,
+        fun=fun(x),
+        grad_norm=jnp.max(jnp.abs(grad)),
+        niter=otu.tree_get(state, "count"),
+    )
+
+
+def minimize_newton_scalar(
+    fun: Callable[[jnp.ndarray], jnp.ndarray],
+    x0: jnp.ndarray,
+    maxiter: int = 100,
+    tol: float = 1e-12,
+    max_backtracks: int = 30,
+) -> MinimizeResult:
+    """Safeguarded 1-D Newton minimization with backtracking.
+
+    Used for the per-latent GP-timescale objective in ``p = log gamma`` space
+    (one scalar per latent; reference optimizes it with BFGS at
+    ``funs/learning.py:283-288``). Falls back to a gradient step when the local
+    curvature is not positive.
+    """
+    grad_fn = jax.grad(fun)
+    hess_fn = jax.grad(grad_fn)
+    t_min = 0.5**max_backtracks
+
+    def body(carry):
+        x, f, it = carry
+        g = grad_fn(x)
+        h = hess_fn(x)
+        # Newton direction; gradient direction if curvature is not positive.
+        direction = jnp.where(h > 1e-12, g / jnp.maximum(h, 1e-12), g)
+        slope = g * direction  # >= 0 for a descent direction `x - t*direction`
+
+        def ls_cond(ls):
+            t, f_try = ls
+            return (f_try > f - 1e-4 * t * slope) & (t > t_min)
+
+        def ls_body(ls):
+            t, _ = ls
+            t = 0.5 * t
+            return t, fun(x - t * direction)
+
+        t, f_try = jax.lax.while_loop(ls_cond, ls_body, (1.0, fun(x - direction)))
+        accept = f_try <= f
+        x_next = jnp.where(accept, x - t * direction, x)
+        f_next = jnp.where(accept, f_try, f)
+        return x_next, f_next, it + 1
+
+    def cond(carry):
+        x, _, it = carry
+        return (it < maxiter) & (jnp.abs(grad_fn(x)) > tol)
+
+    x, f, it = jax.lax.while_loop(cond, body, (x0, fun(x0), jnp.asarray(0)))
+    return MinimizeResult(x=x, fun=f, grad_norm=jnp.abs(grad_fn(x)), niter=it)
