@@ -1,0 +1,95 @@
+"""End-to-end EM parity vs the oracle, plus ground-truth recovery."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+import pgpfa
+from pgpfa.em.fit import FitConfig, fit
+from pgpfa.oracle import oracle_np as O
+
+
+@pytest.fixture(scope="module")
+def problem():
+    rng = np.random.default_rng(21)
+    xdim, ydim, T, R, bin_ms = 2, 15, 20, 6, 20.0
+    C = rng.uniform(-0.5, 0.5, (ydim, xdim))
+    d = rng.uniform(-1.0, 0.5, ydim)
+    tau = np.array([0.1, 0.35])
+    X = rng.standard_normal((R, xdim, T)) * 0.7
+    Y = rng.poisson(np.exp(np.einsum("nk,rkt->rnt", C, X) + d[None, :, None])).astype(float)
+    C0 = C + 0.2 * rng.standard_normal(C.shape)
+    d0 = d + 0.2 * rng.standard_normal(d.shape)
+    tau0 = np.array([0.2, 0.2])
+    return dict(Y=Y, C0=C0, d0=d0, tau0=tau0, bin_ms=bin_ms, true=dict(C=C, d=d, tau=tau))
+
+
+def test_em_matches_oracle_per_iteration(problem):
+    """Per-EM-iteration posterior log-lik parity at 1e-6 (the north-star)."""
+    p = problem
+    n_iter = 3
+    hist = O.em_fit(p["Y"], p["C0"], p["d0"], p["tau0"], p["bin_ms"], n_iter=n_iter, cd_method="BFGS")
+    init = {"C": p["C0"], "d": p["d0"], "tau": p["tau0"]}
+    res = fit(init, p["Y"], p["bin_ms"], FitConfig(max_em_iter=n_iter))
+    np.testing.assert_allclose(
+        np.asarray(res.post_loglik), np.asarray(hist["post_loglik"]), rtol=0, atol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(res.cd_cost), np.asarray(hist["cd_cost"]), rtol=0, atol=2e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(res.tau_seq), np.stack(hist["tau"]), rtol=1e-3
+    )
+
+
+def test_em_loglik_trajectory(problem):
+    """The recorded nPLL (unnormalized posterior at the mode, the reference's
+    metric) is NOT guaranteed monotone by EM; verified identical to the oracle
+    trace in test_em_matches_oracle_per_iteration. Here: the fit must improve
+    substantially from the init and stay within a small band afterwards."""
+    p = problem
+    init = {"C": p["C0"], "d": p["d0"], "tau": p["tau0"]}
+    res = fit(init, p["Y"], p["bin_ms"], FitConfig(max_em_iter=10))
+    pll = np.asarray(res.post_loglik)
+    assert pll[1] > pll[0] + 1.0
+    assert np.max(pll) - pll[-1] < 0.2 * (pll[-1] - pll[0])
+
+
+def test_ground_truth_recovery():
+    """Fit on a bigger synthetic set recovers tau and the C subspace."""
+    train = pgpfa.dataset(
+        xdim=2, ydim=25, numTrials=20, trialDur=1000, binSize=20,
+        dOffset=0.5, fixTau=True, fixedTau=np.array([0.1, 0.4]), seed=5,
+    )
+    init = pgpfa.initializeParams(2, 25, train, seed=0)
+    res = fit(init, train.Y, 20.0, FitConfig(max_em_iter=25))
+    from pgpfa.diag.metrics import subspace_angle
+
+    ang = subspace_angle(train.params["C"], np.asarray(res.C))
+    assert ang < 0.35, f"subspace angle too large: {ang}"
+    np.testing.assert_allclose(np.sort(np.asarray(res.tau)), [0.1, 0.4], atol=0.1)
+
+
+def test_online_em_improves():
+    train = pgpfa.dataset(
+        xdim=2, ydim=20, numTrials=12, trialDur=800, binSize=20,
+        dOffset=0.5, fixTau=True, fixedTau=np.array([0.15, 0.35]), seed=9,
+    )
+    init = pgpfa.initializeParams(2, 20, train, seed=0)
+    full = fit(init, train.Y, 20.0, FitConfig(max_em_iter=12))
+    for rule in ("diag", "fullyUpdateAll", "sequentialAverage"):
+        cfg = FitConfig(em_mode="online", online_update=rule, max_em_iter=12, batch_size=6)
+        res = fit(init, train.Y, 20.0, cfg, seed=1)
+        # final params should give a better full-data loglik than the init
+        from pgpfa.infer.laplace import laplace_estep_from_arrays
+
+        _, pll_init = laplace_estep_from_arrays(
+            jnp.asarray(init["C"]), jnp.asarray(init["d"]), jnp.asarray(init["tau"]),
+            jnp.asarray(train.Y, dtype=jnp.float64), train.T, 20.0,
+        )
+        _, pll_final = laplace_estep_from_arrays(
+            res.C, res.d, res.tau,
+            jnp.asarray(train.Y, dtype=jnp.float64), train.T, 20.0,
+        )
+        assert float(pll_final) > float(pll_init), rule

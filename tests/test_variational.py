@@ -1,0 +1,50 @@
+"""Dual variational E-step parity vs the scipy L-BFGS oracle."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from pgpfa.infer.variational import vi_estep_from_arrays
+from pgpfa.oracle import oracle_np as O
+
+
+@pytest.fixture(scope="module")
+def problem():
+    rng = np.random.default_rng(33)
+    xdim, ydim, T, R, bin_ms = 2, 8, 15, 3, 20.0
+    C = rng.uniform(-0.5, 0.5, (ydim, xdim))
+    d = rng.uniform(-1.5, 0.0, ydim)
+    tau = np.array([0.15, 0.3])
+    X = rng.standard_normal((R, xdim, T)) * 0.7
+    Y = rng.poisson(np.exp(np.einsum("nk,rkt->rnt", C, X) + d[None, :, None])).astype(float)
+    return dict(C=C, d=d, tau=tau, Y=Y, T=T, bin_ms=bin_ms)
+
+
+def test_vi_matches_oracle(problem):
+    p = problem
+    inf, pll, vlb, rho = vi_estep_from_arrays(
+        jnp.asarray(p["C"]), jnp.asarray(p["d"]), jnp.asarray(p["tau"]),
+        jnp.asarray(p["Y"]), p["T"], p["bin_ms"],
+    )
+    bounds, means, nlps = [], [], []
+    for r in range(p["Y"].shape[0]):
+        o = O.vi_infer_trial(p["Y"][r], p["C"], p["d"], p["tau"], p["bin_ms"])
+        bounds.append(o["bound"])
+        means.append(o["mean"])
+        nlps.append(o["nlp_at_mean"])
+    # converged dual objective parity (optimizer-parity policy)
+    np.testing.assert_allclose(float(vlb), np.mean(bounds), rtol=0, atol=1e-5)
+    np.testing.assert_allclose(float(pll), -np.mean(nlps), rtol=0, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(inf.post_mean), np.asarray(means), atol=1e-4)
+
+
+def test_vi_warm_start(problem):
+    p = problem
+    args = (
+        jnp.asarray(p["C"]), jnp.asarray(p["d"]), jnp.asarray(p["tau"]),
+        jnp.asarray(p["Y"]), p["T"], p["bin_ms"],
+    )
+    inf1, pll1, vlb1, rho1 = vi_estep_from_arrays(*args)
+    inf2, pll2, vlb2, _ = vi_estep_from_arrays(*args, rho_init=rho1)
+    np.testing.assert_allclose(float(vlb2), float(vlb1), atol=1e-7)
