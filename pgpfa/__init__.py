@@ -33,9 +33,28 @@ if _os.environ.get("PGPFA_X64", "1") != "0":
 from pgpfa.models.params import Params, pack_cd, unpack_cd, rbf_kernel  # noqa: E402
 from pgpfa.data.synthetic import dataset  # noqa: E402
 from pgpfa.data.init import initialize_params  # noqa: E402
-from pgpfa.em.fit import PPGPFAfit, FitConfig, fit  # noqa: E402
+from pgpfa.data.batching import subsample_trials, seen_trials  # noqa: E402
+from pgpfa.em.fit import PPGPFAfit, FitConfig, FitResult, fit  # noqa: E402
+from pgpfa.infer.laplace import laplace_estep, laplace_estep_from_arrays  # noqa: E402
+from pgpfa.infer.variational import vi_estep, vi_estep_from_arrays  # noqa: E402
+from pgpfa.infer.mcmc import posterior_mcmc, posterior_mcmc_from_arrays  # noqa: E402
+from pgpfa.diag.crossval import crossValidation, split_train_test  # noqa: E402
+from pgpfa.diag.loo import leave_one_out_prediction  # noqa: E402
+from pgpfa.diag.metrics import subspace_angle, js_logdet_div, mean_cov_y_from_params  # noqa: E402
+from pgpfa.parallel.sharded import fit_sharded  # noqa: E402
+from pgpfa.utils.io import save_variables, open_variables, save_checkpoint, load_checkpoint  # noqa: E402
 
-initializeParams = initialize_params  # reference-API alias (funs/util.py:505)
+# reference-API aliases (funs/util.py names)
+initializeParams = initialize_params
+subsampleTrials = subsample_trials
+seenTrials = seen_trials
+saveVariables = save_variables
+openVariables = open_variables
+leaveOneOutPrediction = leave_one_out_prediction
+subspaceAngle = subspace_angle
+JSLogdetDiv = js_logdet_div
+getMeanCovYfromParams = mean_cov_y_from_params
+splitTrainingTestDataset = split_train_test
 
 __all__ = [
     "Params",
@@ -47,7 +66,27 @@ __all__ = [
     "initializeParams",
     "PPGPFAfit",
     "FitConfig",
+    "FitResult",
     "fit",
+    "fit_sharded",
+    "laplace_estep",
+    "laplace_estep_from_arrays",
+    "vi_estep",
+    "vi_estep_from_arrays",
+    "posterior_mcmc",
+    "posterior_mcmc_from_arrays",
+    "crossValidation",
+    "split_train_test",
+    "leave_one_out_prediction",
+    "subspace_angle",
+    "js_logdet_div",
+    "mean_cov_y_from_params",
+    "subsample_trials",
+    "seen_trials",
+    "save_variables",
+    "open_variables",
+    "save_checkpoint",
+    "load_checkpoint",
 ]
 
 __version__ = "0.1.0"

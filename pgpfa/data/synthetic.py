@@ -79,12 +79,50 @@ def sample_trials(
     return X, Y
 
 
+def sample_params_numpy(rng, xdim, ydim, d_offset=-1.0, fixed_tau=None):
+    """NumPy twin of :func:`sample_params` (platform-independent bits)."""
+    C = rng.uniform(-0.5, 0.5, size=(ydim, xdim))
+    d = rng.uniform(0.0, 1.0, size=ydim) * (-2.0) + d_offset
+    tau = (
+        np.ravel(np.asarray(fixed_tau))
+        if fixed_tau is not None
+        else rng.uniform(0.0, 1.0, size=xdim) + 0.01
+    )
+    return Params(C=jnp.asarray(C), d=jnp.asarray(d), tau=jnp.asarray(tau))
+
+
+def sample_trials_numpy(rng, params: Params, num_trials, T, bin_size_ms, draw_same_x=False, eps_noise=0.001):
+    """NumPy twin of :func:`sample_trials`.
+
+    Used where bit-identical data across platforms matters (e.g. the benchmark
+    data must match between the CPU reference-baseline process and the TPU
+    bench process; jax.random results can differ across backends).
+    """
+    C = np.asarray(params.C)
+    d = np.asarray(params.d)
+    K = np.asarray(rbf_kernel(params.tau, T, bin_size_ms, eps_noise))
+    L = np.linalg.cholesky(K)
+    xdim = C.shape[1]
+    n_draws = 1 if draw_same_x else num_trials
+    z = rng.standard_normal((n_draws, xdim, T))
+    X = np.einsum("ktu,rku->rkt", L, z)
+    if draw_same_x:
+        X = np.broadcast_to(X, (num_trials, xdim, T))
+    rates = np.exp(np.einsum("nk,rkt->rnt", C, X) + d[None, :, None])
+    Y = rng.poisson(rates).astype(float)
+    return X, Y
+
+
 class dataset:
     """Multi-trial synthetic spike-count dataset (reference-compatible surface).
 
     Reference: ``funs/util.py:621-886``. The broken Gaussian ``model='gpfa'``
     sampling path of the reference (``funs/util.py:753-775``, malformed
     covariance) is intentionally not reproduced.
+
+    Args:
+        backend: 'jax' (default; on-device sampling) or 'numpy'
+            (platform-independent bits — use for cross-process benchmarks).
     """
 
     def __init__(
@@ -101,6 +139,7 @@ class dataset:
         fixedTau=None,
         params=None,
         verbose: bool = False,
+        backend: str = "jax",
     ):
         self.trialDur = int(trialDur)
         self.binSize = int(binSize)
@@ -111,19 +150,33 @@ class dataset:
         self.seed = int(seed)
         self.T = int(trialDur // binSize)
 
-        key = jax.random.PRNGKey(self.seed)
-        kp, ks = jax.random.split(key)
-        if params is None:
-            p = sample_params(
-                kp, xdim, ydim, d_offset=dOffset,
-                fixed_tau=fixedTau if fixTau else None,
+        if backend == "numpy":
+            rng = np.random.default_rng(self.seed)
+            if params is None:
+                p = sample_params_numpy(
+                    rng, xdim, ydim, d_offset=dOffset,
+                    fixed_tau=fixedTau if fixTau else None,
+                )
+            elif isinstance(params, Params):
+                p = params
+            else:
+                p = Params.from_dict(params)
+            X, Y = sample_trials_numpy(
+                rng, p, self.numTrials, self.T, float(self.binSize), drawSameX
             )
-        elif isinstance(params, Params):
-            p = params
         else:
-            p = Params.from_dict(params)
-
-        X, Y = sample_trials(ks, p, self.numTrials, self.T, float(self.binSize), drawSameX)
+            key = jax.random.PRNGKey(self.seed)
+            kp, ks = jax.random.split(key)
+            if params is None:
+                p = sample_params(
+                    kp, xdim, ydim, d_offset=dOffset,
+                    fixed_tau=fixedTau if fixTau else None,
+                )
+            elif isinstance(params, Params):
+                p = params
+            else:
+                p = Params.from_dict(params)
+            X, Y = sample_trials(ks, p, self.numTrials, self.T, float(self.binSize), drawSameX)
         self.X = np.asarray(X)
         self.Y = np.asarray(Y)
         self.params = p.to_dict()

@@ -21,11 +21,17 @@ from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
-import jax.scipy.linalg as jsl
 
 from pgpfa.models.params import Params, rbf_kernel
 from pgpfa.models.poisson_gpfa import linear_predictor, hessian_weights
-from pgpfa.ops.blockmat import assemble_hessian, blocks_inv, cov_views, inv_psd
+from pgpfa.ops.blockmat import (
+    assemble_hessian,
+    blocks_inv,
+    chol32,
+    cov_views,
+    inv_psd_mixed,
+    solve_psd_mixed,
+)
 
 
 class InfRes(NamedTuple):
@@ -56,11 +62,19 @@ class InfRes(NamedTuple):
 
 
 def _newton_solve(Y, X0, C, d, Kinv, weights, gtol, maxiter, max_backtracks=30):
-    """Damped Newton for one trial. Shapes: Y (ydim,T), X0 (xdim,T)."""
+    """Damped Newton for one trial. Shapes: Y (ydim,T), X0 (xdim,T).
+
+    Termination: gradient inf-norm <= gtol, OR Newton decrement
+    ``slope = g^T H^{-1} g <= 1e-12`` (expected remaining objective decrease
+    ~ slope/2, i.e. well under the 1e-6 objective-parity budget). The
+    decrement test is essential in f64: near the optimum the Armijo test
+    stalls on 1-ULP rounding of the objective.
+    """
     xdim, T = X0.shape
     D = xdim * T
     w = weights[:, None]
     t_min = 0.5**max_backtracks
+    dec_tol = 1e-12
 
     def objective(X):
         A = linear_predictor(C, d, X)
@@ -81,13 +95,17 @@ def _newton_solve(Y, X0, C, d, Kinv, weights, gtol, maxiter, max_backtracks=30):
     def body(carry):
         X, f, it, done = carry
         G, H = grad_hess(X)
-        L = jnp.linalg.cholesky(H)
-        dX = jsl.cho_solve((L, True), G.reshape(D)).reshape(xdim, T)
-        slope = jnp.vdot(G, dX)
+        # f32 factorization + f64 iterative refinement: f64 triangular solves
+        # are pathologically slow on TPU (see pgpfa/ops/blockmat.py).
+        dX = solve_psd_mixed(H, G.reshape(D), L32=chol32(H)).reshape(xdim, T)
+        slope = jnp.vdot(G, dX)  # Newton decrement^2 = g^T H^{-1} g
+        converged = slope <= dec_tol
+        # 1-ULP slack: near the optimum f(X - t dX) can round a hair above f.
+        slack = 1e-13 * (1.0 + jnp.abs(f))
 
         def ls_cond(ls):
             t, f_try = ls
-            bad = ~jnp.isfinite(f_try) | (f_try > f - 1e-4 * t * slope)
+            bad = ~jnp.isfinite(f_try) | (f_try > f - 1e-4 * t * slope + slack)
             return bad & (t > t_min)
 
         def ls_body(ls):
@@ -96,11 +114,11 @@ def _newton_solve(Y, X0, C, d, Kinv, weights, gtol, maxiter, max_backtracks=30):
             return t, objective(X - t * dX)
 
         t, f_try = jax.lax.while_loop(ls_cond, ls_body, (1.0, objective(X - dX)))
-        accept = jnp.isfinite(f_try) & (f_try <= f)
+        accept = jnp.isfinite(f_try) & (f_try <= f + slack) & ~converged
         X_new = jnp.where(accept, X - t * dX, X)
-        f_new = jnp.where(accept, f_try, f)
+        f_new = jnp.where(accept, jnp.minimum(f_try, f), f)
         G_new, _ = grad_hess(X_new)
-        done_new = (jnp.max(jnp.abs(G_new)) <= gtol) | ~accept
+        done_new = converged | (jnp.max(jnp.abs(G_new)) <= gtol) | ~accept
         # Freeze lanes that converged in an earlier iteration (vmapped
         # while_loop keeps executing the body for every lane until all stop).
         X_out = jnp.where(done, X, X_new)
@@ -174,7 +192,7 @@ def laplace_estep_from_arrays(
         A = linear_predictor(C, d, X_tr)
         W = hessian_weights(C, weights[:, None] * jnp.exp(A))
         H = assemble_hessian(W, Kinv)
-        return inv_psd(H)
+        return inv_psd_mixed(H)
 
     cov = jax.vmap(posterior_cov)(X, Y)
     vsm, vsm_gp = jax.vmap(lambda c: cov_views(c, xdim, T))(cov)

@@ -24,7 +24,7 @@ import jax.numpy as jnp
 from pgpfa.infer.laplace import InfRes
 from pgpfa.models.params import Params, rbf_kernel
 from pgpfa.models.poisson_gpfa import neg_log_posterior
-from pgpfa.ops.blockmat import assemble_hessian, blocks_inv, chol_logdet, cov_views, inv_psd
+from pgpfa.ops.blockmat import assemble_hessian, blocks_inv, chol_logdet, cov_views, inv_psd_mixed
 from pgpfa.utils.optim import minimize_lbfgs
 
 
@@ -109,7 +109,7 @@ def vi_estep_from_arrays(
     means = jax.vmap(lambda r, y: vi_posterior_mean(r, y, C, K))(rho, Y)
 
     def trial_cov(r):
-        return inv_psd(_posterior_precision(jnp.exp(r), C, Kinv, ridge))
+        return inv_psd_mixed(_posterior_precision(jnp.exp(r), C, Kinv, ridge))
 
     cov = jax.vmap(trial_cov)(rho)
     vsm, vsm_gp = jax.vmap(lambda c: cov_views(c, xdim, T))(cov)

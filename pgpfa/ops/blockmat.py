@@ -87,3 +87,68 @@ def blocks_inv(K: jnp.ndarray) -> jnp.ndarray:
     L = jnp.linalg.cholesky(K)
     eye = jnp.broadcast_to(jnp.eye(K.shape[-1], dtype=K.dtype), K.shape)
     return jsl.cho_solve((L, True), eye)
+
+
+# --------------------------------------------------------------------------
+# Mixed-precision SPD solvers (the TPU-native fast path)
+#
+# On TPU, f64 triangular solves are pathologically slow (measured: a batched
+# (100, 700, 700) f64 cho_solve with full RHS does not finish in minutes,
+# while the f32 version takes ~5 ms and an f64 700^3 batched matmul ~2 ms).
+# So: factor in f32 (MXU work), then recover f64 accuracy with residual
+# refinement — Newton-Schulz for inverses, iterative refinement for solves.
+# Refinement squares the error per step: with kappa(H) <~ 1e6 the f32 inverse
+# has relative error ~kappa * 1e-7 << 1, and 3 steps land at ~1e-12, far
+# inside the 1e-6 parity budget. Used uniformly on CPU and TPU so numerics do
+# not depend on the platform.
+# --------------------------------------------------------------------------
+
+
+def chol32(H: jnp.ndarray) -> jnp.ndarray:
+    """Cholesky factor of an SPD matrix computed in float32."""
+    return jnp.linalg.cholesky(H.astype(jnp.float32))
+
+
+def solve_psd_mixed(H: jnp.ndarray, rhs: jnp.ndarray, L32=None, ir_steps: int = 2) -> jnp.ndarray:
+    """Solve ``H x = rhs`` with an f32 factorization + f64 iterative refinement.
+
+    Args:
+        H: SPD matrix ``(D, D)`` (f64).
+        rhs: ``(D,)`` or ``(D, k)``.
+        L32: optional precomputed f32 Cholesky factor of H.
+        ir_steps: refinement steps (error ~ (kappa * 1e-7)^(steps+1)).
+    """
+    import jax.scipy.linalg as jsl
+
+    if L32 is None:
+        L32 = chol32(H)
+
+    def coarse(b):
+        return jsl.cho_solve((L32, True), b.astype(jnp.float32)).astype(H.dtype)
+
+    x = coarse(rhs)
+    for _ in range(ir_steps):
+        r = rhs - H @ x
+        x = x + coarse(r)
+    return x
+
+
+def inv_psd_mixed(H: jnp.ndarray, L32=None, ns_steps: int = 3) -> jnp.ndarray:
+    """SPD inverse via f32 Cholesky + f64 Newton-Schulz refinement.
+
+    ``X <- X (2I - H X)`` squares the inverse's residual each step; the result
+    is symmetrized. Requires ``kappa(H) * 1e-7 < 1`` for convergence, which
+    the eps-jittered GP precision guarantees by construction
+    (``K``'s eigenvalues live in ``[eps_noise, T]``).
+    """
+    import jax.scipy.linalg as jsl
+
+    D = H.shape[-1]
+    if L32 is None:
+        L32 = chol32(H)
+    eye32 = jnp.eye(D, dtype=jnp.float32)
+    X = jsl.cho_solve((L32, True), eye32).astype(H.dtype)
+    eye = jnp.eye(D, dtype=H.dtype)
+    for _ in range(ns_steps):
+        X = X + X @ (eye - H @ X)
+    return 0.5 * (X + jnp.swapaxes(X, -1, -2))

@@ -1,0 +1,40 @@
+"""Device mesh setup and sharding helpers.
+
+The reference has no parallelism of any kind (single-process NumPy; SURVEY.md
+§2.3). The TPU-native scale-out strategy is **trial data-parallelism**, which
+is *exact* for P-GPFA EM: the E-step factorizes over trials, and every M-step
+statistic is a sum over trials (``funs/learning.py:39-47,162-172``) reduced
+with ``psum`` over ICI.
+
+Why only a 1-D mesh: tensor/pipeline/expert parallelism do not apply to this
+model family (no layer stack, no MoE; SURVEY.md §2.3) — the latent axis is
+block-diagonal in the prior but densely coupled through the observation
+Hessian, so latents cannot shard the E-step. The time axis is the long-context
+scaling direction (blockwise solves) and is a future mesh axis.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import numpy as np
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+TRIAL_AXIS = "trials"
+
+
+def make_mesh(devices: Optional[Sequence] = None, axis_name: str = TRIAL_AXIS) -> Mesh:
+    """Create a 1-D mesh over all (or the given) devices for trial DP."""
+    devices = list(devices) if devices is not None else jax.devices()
+    return Mesh(np.asarray(devices), axis_names=(axis_name,))
+
+
+def trial_sharding(mesh: Mesh, axis_name: str = TRIAL_AXIS) -> NamedSharding:
+    """Shard the leading (trial) axis across the mesh; replicate the rest."""
+    return NamedSharding(mesh, P(axis_name))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())

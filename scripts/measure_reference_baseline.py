@@ -1,0 +1,99 @@
+"""Measure the reference implementation's wall-clock per EM iteration.
+
+Runs the ORIGINAL mackelab/poisson-gpfa code at /root/reference (unmodified,
+imported in place) on data saved by bench.py, and prints one JSON line with
+seconds/iteration. Run as a subprocess; keeps the reference's import hacks and
+its missing `statsmodels` dependency contained.
+
+Usage:
+    python scripts/measure_reference_baseline.py DATA.npz N_ITERS
+"""
+
+import json
+import os
+import sys
+import time
+import types
+
+import numpy as np
+
+
+def _install_statsmodels_stub():
+    """statsmodels is not installed in this image; the reference imports
+    statsmodels.tools.numdiff at module scope but batch EM never calls it."""
+    root = types.ModuleType("statsmodels")
+    tools = types.ModuleType("statsmodels.tools")
+    numdiff = types.ModuleType("statsmodels.tools.numdiff")
+
+    def _get_epsilon(x, s, epsilon, n):
+        if epsilon is None:
+            epsilon = 1e-6
+        return np.full(n, epsilon)
+
+    def approx_fprime(x, f, epsilon=None, args=(), centered=False):
+        raise NotImplementedError("statsmodels stub: not needed for batch EM")
+
+    numdiff._get_epsilon = _get_epsilon
+    numdiff.approx_fprime = approx_fprime
+    numdiff.approx_hess = approx_fprime
+    numdiff.Jacobian = approx_fprime
+    tools.numdiff = numdiff
+    root.tools = tools
+    sys.modules["statsmodels"] = root
+    sys.modules["statsmodels.tools"] = tools
+    sys.modules["statsmodels.tools.numdiff"] = numdiff
+
+
+class _Experiment:
+    """Minimal experiment object with the reference's expected surface."""
+
+    def __init__(self, Y, trial_dur, bin_size):
+        self.data = [{"Y": Y[r]} for r in range(Y.shape[0])]
+        self.numTrials = Y.shape[0]
+        self.ydim = Y.shape[1]
+        self.T = Y.shape[2]
+        self.trialDur = trial_dur
+        self.binSize = bin_size
+
+
+def main():
+    data_path, n_iters = sys.argv[1], int(sys.argv[2])
+    blob = np.load(data_path)
+    Y = blob["Y"]
+    init = {"C": blob["C0"], "d": blob["d0"], "tau": blob["tau0"]}
+
+    os.environ.setdefault("MPLBACKEND", "Agg")
+    _install_statsmodels_stub()
+    os.chdir("/root/reference")
+    sys.path.insert(0, "/root/reference")
+    sys.path.insert(0, "/root/reference/funs")
+    import funs.engine as engine  # noqa: E402
+
+    exp = _Experiment(Y, float(blob["trialDur"]), float(blob["binSize"]))
+    t0 = time.time()
+    fit = engine.PPGPFAfit(
+        experiment=exp,
+        initParams=init,
+        inferenceMethod="laplace",
+        EMmode="Batch",
+        maxEMiter=n_iters,
+    )
+    elapsed = time.time() - t0
+    # leading newline: the reference's Printer leaves an unterminated line on
+    # stdout, which would otherwise concatenate with the JSON
+    print(
+        "\n"
+        + json.dumps(
+            {
+                "sec_per_iter": elapsed / n_iters,
+                "total_sec": elapsed,
+                "n_iters": n_iters,
+                "post_loglik": [float(v) for v in fit.posteriorLikelihood],
+                "shape": list(Y.shape),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,171 @@
+"""Component tests: MCMC gold standard, LOO prediction, cross-validation,
+loaders, persistence, plotting smoke."""
+
+import os
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+import pgpfa
+
+
+@pytest.fixture(scope="module")
+def small():
+    train = pgpfa.dataset(
+        xdim=2, ydim=12, numTrials=8, trialDur=600, binSize=20,
+        dOffset=0.5, fixTau=True, fixedTau=np.array([0.15, 0.3]), seed=7,
+    )
+    init = pgpfa.initializeParams(2, 12, train, seed=0)
+    return train, init
+
+
+def test_mcmc_agrees_with_laplace(small):
+    """ESS posterior mean/marginal-sd agree with the Laplace approximation
+    (SURVEY.md §4 item 4: MCMC as gold standard)."""
+    train, _ = small
+    from pgpfa.infer.laplace import laplace_estep_from_arrays
+    from pgpfa.infer.mcmc import posterior_mcmc_from_arrays
+
+    C = jnp.asarray(train.params["C"])
+    d = jnp.asarray(train.params["d"])
+    tau = jnp.asarray(train.params["tau"])
+    Y = jnp.asarray(train.Y, dtype=jnp.float64)
+    inf, _ = laplace_estep_from_arrays(C, d, tau, Y[:1], train.T, 20.0)
+
+    res = posterior_mcmc_from_arrays(
+        C, d, tau, Y[0], train.T, 20.0, n_samples=4000, seed=1
+    )
+    samples = np.asarray(res.samples)[1000:]  # burn-in
+    mcmc_mean = samples.mean(axis=0)
+    lap_mean = np.asarray(inf.post_mean[0])
+    lap_sd = np.sqrt(np.diagonal(np.asarray(inf.post_vsm_gp[0]), axis1=1, axis2=2))
+    # mean agreement within a fraction of the posterior sd
+    z = np.abs(mcmc_mean - lap_mean) / lap_sd
+    assert np.mean(z) < 0.5, f"mean |z| = {np.mean(z)}"
+    # marginal sd agreement within 35% on average (MCMC noise + Laplace bias)
+    mcmc_sd = samples.std(axis=0)
+    ratio = mcmc_sd / lap_sd
+    assert 0.65 < np.mean(ratio) < 1.35, f"sd ratio mean = {np.mean(ratio)}"
+
+
+def test_loo_prediction(small):
+    train, init = small
+    from pgpfa.diag.loo import leave_one_out_prediction
+
+    pred, err = leave_one_out_prediction(train.params, train.Y, 20.0)
+    assert pred.shape == train.Y.shape
+    assert np.isfinite(err) and err > 0
+    # true-params prediction should beat a constant mean-rate prediction
+    const = np.broadcast_to(
+        train.Y.mean(axis=(0, 2))[None, :, None], train.Y.shape
+    )
+    err_const = float(np.sum((train.Y - const) ** 2))
+    assert err < err_const
+
+
+def test_cross_validation(small):
+    train, _ = small
+    from pgpfa.diag.crossval import crossValidation
+
+    cv = crossValidation(
+        train, numTrainingTrials=6, numTestTrials=2, maxXdim=3, maxEMiter=2
+    )
+    assert len(cv.errs) == 3
+    assert 1 <= cv.optimXdim <= 3
+    assert all(np.isfinite(e) for e in cv.errs)
+
+
+def test_stevenson_loader(tmp_path):
+    """Loader validated on a synthetic file with the reference schema."""
+    import scipy.io as sio
+
+    from pgpfa.data.loaders import StevensonDataset
+
+    rng = np.random.default_rng(0)
+    spikes = rng.poisson(0.01, size=(20, 4 * 1400))
+    path = os.path.join(tmp_path, "stevenson.mat")
+    sio.savemat(path, {"spikes": spikes, "timeBase": np.arange(spikes.shape[1])})
+    ds = StevensonDataset(path, trialDur=1400, binSize=10)
+    assert ds.T == 140 and ds.ydim == 20
+    assert ds.numTrials == 2  # second half of 4 trials
+    assert ds.Y.shape == (2, 20, 140)
+    np.testing.assert_allclose(ds.Y.sum(), spikes[:, 2 * 1400 :].sum())
+
+
+def test_matlab_dataset_loader(tmp_path):
+    import scipy.io as sio
+
+    from pgpfa.data.loaders import MATLABdataset
+
+    rng = np.random.default_rng(1)
+    rec = np.zeros((1, 3), dtype=[("spkcount", "O"), ("trialDur", "O")])
+    for i in range(3):
+        rec[0, i]["spkcount"] = rng.poisson(0.5, size=(8, 25))
+        rec[0, i]["trialDur"] = np.asarray([[0.5]])
+    path = os.path.join(tmp_path, "ppgpfa.mat")
+    sio.savemat(path, {"dataPPGPFA": rec})
+    ds = MATLABdataset(path)
+    assert ds.numTrials == 3 and ds.ydim == 8 and ds.T == 25
+    assert ds.trialDur == 500 and ds.binSize == 20
+
+
+def test_persistence(tmp_path, small):
+    from pgpfa.utils.io import (
+        load_checkpoint,
+        open_variables,
+        save_checkpoint,
+        save_variables,
+    )
+
+    train, init = small
+    p = os.path.join(tmp_path, "v.pkl")
+    save_variables({"a": np.arange(3)}, p)
+    out = open_variables(p)
+    np.testing.assert_array_equal(out["a"], np.arange(3))
+
+    cp = os.path.join(tmp_path, "ck.npz")
+    save_checkpoint(cp, init, em_iter=7, warm=np.zeros((2, 2)))
+    state = load_checkpoint(cp)
+    assert state["em_iter"] == 7
+    np.testing.assert_allclose(state["params"]["C"], init["C"])
+    assert state["warm"].shape == (2, 2)
+
+
+def test_batching_helpers(small):
+    from pgpfa.data.batching import seen_trials, subsample_trials
+
+    train, _ = small
+    sub = subsample_trials(train, 3, rng=np.random.default_rng(0))
+    assert sub.numTrials == 3 and sub.Y.shape[0] == 3
+    assert len(set(sub.batchTrIdx)) == 3
+    seen = seen_trials(train, [0, 2, 2])
+    assert seen.numTrials == 3
+
+
+def test_plotting_smoke(small):
+    import matplotlib
+
+    matplotlib.use("Agg")
+    train, init = small
+    fit = pgpfa.PPGPFAfit(
+        experiment=train, initParams=init, EMmode="Batch", maxEMiter=2,
+        getPredictionErr=True,
+    )
+    fit.plotTrajectory(0)
+    fit.plotTrajectories()
+    fit.plotParamSeq()
+    fit.plotFitDetails()
+    fit.plotOptimParams()
+    fit.plotParamComparison()
+    fit.plotCovAnalysis()
+    fit.plotLNOprediction(0, 0)
+    fit.orthonormalizeTrajectories()
+    assert fit.x_tilde.shape == (train.numTrials, 2, train.T)
+    train.plotTrajectory()
+    train.plotParams()
+    train.plotMeanVsVariance()
+    import matplotlib.pyplot as plt
+
+    plt.close("all")

@@ -1,0 +1,65 @@
+"""Multi-device tests on the 8-device virtual CPU mesh (conftest)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+import pgpfa
+from pgpfa.em.fit import FitConfig, fit
+from pgpfa.parallel.mesh import make_mesh, trial_sharding
+from pgpfa.parallel.sharded import fit_sharded, sharded_estep_stats
+
+
+@pytest.fixture(scope="module")
+def data():
+    train = pgpfa.dataset(
+        xdim=2, ydim=16, numTrials=16, trialDur=600, binSize=20,
+        dOffset=0.5, fixTau=True, fixedTau=np.array([0.15, 0.3]), seed=4,
+    )
+    init = pgpfa.initializeParams(2, 16, train, seed=0)
+    return train, init
+
+
+def test_eight_devices_available():
+    assert len(jax.devices()) == 8
+
+
+def test_sharded_fit_matches_single_device(data):
+    """Trial DP is exact: sharded EM == single-device EM (bit-level sums may
+    reorder, so compare at tight tolerance)."""
+    train, init = data
+    cfg = FitConfig(max_em_iter=4)
+    single = fit(init, train.Y, 20.0, cfg)
+    mesh = make_mesh()
+    sharded = fit_sharded(init, train.Y, 20.0, cfg, mesh=mesh)
+    np.testing.assert_allclose(
+        np.asarray(sharded.post_loglik), np.asarray(single.post_loglik), rtol=1e-9
+    )
+    np.testing.assert_allclose(np.asarray(sharded.C), np.asarray(single.C), atol=1e-7)
+    np.testing.assert_allclose(np.asarray(sharded.tau), np.asarray(single.tau), atol=1e-8)
+
+
+def test_shard_map_estep_stats_match(data):
+    """Explicit psum-reduced sufficient statistics == single-device values."""
+    train, init = data
+    from pgpfa.infer.laplace import laplace_estep_from_arrays
+    from pgpfa.learn.mstep_gp import pauto_sum
+
+    C = jnp.asarray(init["C"]); d = jnp.asarray(init["d"]); tau = jnp.asarray(init["tau"])
+    Y = jnp.asarray(train.Y, dtype=jnp.float64)
+    inf, pll = laplace_estep_from_arrays(C, d, tau, Y, train.T, 20.0)
+    want_pauto = pauto_sum(inf.post_mean, inf.post_vsm_gp)
+
+    mesh = make_mesh()
+    Y_sh = jax.device_put(Y, trial_sharding(mesh))
+    X, vsm, vsm_gp, pauto, obj_sum, n = sharded_estep_stats(
+        C, d, tau, Y_sh, train.T, 20.0, mesh
+    )
+    assert float(n) == train.numTrials
+    np.testing.assert_allclose(np.asarray(pauto), np.asarray(want_pauto), rtol=1e-6)
+    np.testing.assert_allclose(
+        float(-obj_sum / n), float(pll), rtol=1e-10
+    )
+    np.testing.assert_allclose(np.asarray(X), np.asarray(inf.post_mean), atol=1e-6)
