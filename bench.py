@@ -89,18 +89,18 @@ def main():
     import jax
     import numpy as np
 
-    from pgpfa.em.fit import FitConfig, fit
+    from pgpfa.em.fit import FitConfig, fit_loop
 
     cfg = FitConfig(max_em_iter=BENCH_ITERS)
     print(f"bench device: {jax.devices()[0]}", file=sys.stderr)
 
     t0 = time.time()
-    res = fit(init, ds.Y, ds.binSize, cfg)
+    res = fit_loop(init, ds.Y, ds.binSize, cfg)
     res.post_loglik.block_until_ready()
     compile_and_run = time.time() - t0
 
     t0 = time.time()
-    res = fit(init, ds.Y, ds.binSize, cfg)
+    res = fit_loop(init, ds.Y, ds.binSize, cfg)
     res.post_loglik.block_until_ready()
     steady = time.time() - t0
 

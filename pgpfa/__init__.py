@@ -30,11 +30,27 @@ import jax as _jax
 if _os.environ.get("PGPFA_X64", "1") != "0":
     _jax.config.update("jax_enable_x64", True)
 
+# Persistent compilation cache: the fused EM program is large (batched Newton
+# + L-BFGS + scan) and TPU compiles run minutes; caching makes that a one-time
+# cost per (shape, config). Opt out with PGPFA_COMPILE_CACHE=0 or point
+# PGPFA_COMPILE_CACHE_DIR elsewhere.
+if _os.environ.get("PGPFA_COMPILE_CACHE", "1") != "0":
+    _cache_dir = _os.environ.get(
+        "PGPFA_COMPILE_CACHE_DIR",
+        _os.path.join(_os.path.expanduser("~"), ".cache", "pgpfa", "jax"),
+    )
+    try:
+        _os.makedirs(_cache_dir, exist_ok=True)
+        _jax.config.update("jax_compilation_cache_dir", _cache_dir)
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    except Exception:
+        pass
+
 from pgpfa.models.params import Params, pack_cd, unpack_cd, rbf_kernel  # noqa: E402
 from pgpfa.data.synthetic import dataset  # noqa: E402
 from pgpfa.data.init import initialize_params  # noqa: E402
 from pgpfa.data.batching import subsample_trials, seen_trials  # noqa: E402
-from pgpfa.em.fit import PPGPFAfit, FitConfig, FitResult, fit  # noqa: E402
+from pgpfa.em.fit import PPGPFAfit, FitConfig, FitResult, fit, fit_loop  # noqa: E402
 from pgpfa.infer.laplace import laplace_estep, laplace_estep_from_arrays  # noqa: E402
 from pgpfa.infer.variational import vi_estep, vi_estep_from_arrays  # noqa: E402
 from pgpfa.infer.mcmc import posterior_mcmc, posterior_mcmc_from_arrays  # noqa: E402
@@ -68,6 +84,7 @@ __all__ = [
     "FitConfig",
     "FitResult",
     "fit",
+    "fit_loop",
     "fit_sharded",
     "laplace_estep",
     "laplace_estep_from_arrays",

@@ -21,6 +21,7 @@ TPU-native redesign:
 from __future__ import annotations
 
 import dataclasses
+import functools
 import time
 from functools import partial
 from typing import NamedTuple, Optional
@@ -309,6 +310,104 @@ def fit(
     return _fit_scan(p.C, p.d, p.tau, Y, T, float(bin_size_ms), cfg, key)
 
 
+@functools.lru_cache(maxsize=64)
+def _phase_programs(T: int, bin_size_ms: float, cfg: FitConfig):
+    """Jitted per-phase programs, memoized so repeated host-loop fits with the
+    same static configuration reuse the compiled executables.
+
+    The (C, d) and tau M-steps are deliberately SEPARATE programs: the
+    tunneled TPU in this environment crashes its worker when both
+    while-loop-heavy optimizers are compiled into one executable (each runs
+    fine alone; empirically bisected). They are independent computations, so
+    splitting costs one extra dispatch per iteration.
+    """
+    estep = jax.jit(
+        lambda C, d, tau, Yb, warm: _estep(C, d, tau, Yb, T, bin_size_ms, warm, cfg)
+    )
+    mstep_cd = jax.jit(
+        lambda C, d, Yb, inf: learn_cd(
+            Yb, inf.post_mean, inf.post_vsm, C, d,
+            maxiter=cfg.cd_maxiter, tol=cfg.cd_tol,
+        )
+    )
+    mstep_tau = jax.jit(
+        lambda tau, inf: learn_tau(
+            inf.post_mean, inf.post_vsm_gp, tau, bin_size_ms,
+            eps=cfg.eps_noise, maxiter=cfg.tau_maxiter,
+        )
+    )
+
+    def mstep_batch(C, d, tau, Yb, inf):
+        return mstep_cd(C, d, Yb, inf), mstep_tau(tau, inf)
+
+    mstep_online = jax.jit(
+        lambda n, C, d, tau, Yb, inf, P, cumH: _online_mstep(
+            n, C, d, tau, Yb, inf, bin_size_ms, cfg, P, cumH
+        )
+    )
+    return estep, mstep_batch, mstep_online
+
+
+def fit_loop(
+    init_params,
+    Y,
+    bin_size_ms: float,
+    config: Optional[FitConfig] = None,
+    seed: int = 0,
+) -> FitResult:
+    """Host-loop fit: the same jitted phase programs as :func:`fit`, driven by
+    a Python loop (one device sync per phase per iteration, ~ms).
+
+    Numerically identical to :func:`fit`. Use this on hardware where compiling
+    the single fused EM program is problematic (the tunneled TPU in this
+    environment faults on the fused scan while each phase compiles and runs
+    fine — see .claude/skills/verify/SKILL.md); the fused :func:`fit` remains
+    the preferred path elsewhere.
+    """
+    cfg = config or FitConfig()
+    p = init_params if isinstance(init_params, Params) else Params.from_dict(init_params)
+    Y = jnp.asarray(Y, dtype=p.C.dtype)
+    R, ydim, T = Y.shape
+    xdim = p.C.shape[1]
+    key = jax.random.PRNGKey(seed)
+    estep, mstep_batch, mstep_online = _phase_programs(T, float(bin_size_ms), cfg)
+
+    C, d, tau = p.C, p.d, p.tau
+    warm = None
+    pdim = _prior_dim(cfg, xdim, ydim)
+    P = jnp.eye(pdim, dtype=C.dtype)
+    cumH = jnp.eye(pdim, dtype=C.dtype)
+    seq = []
+    for n in range(cfg.max_em_iter):
+        if cfg.em_mode == BATCH:
+            Yb = Y
+        else:
+            key, sub = jax.random.split(key)
+            idx = jax.random.choice(sub, R, shape=(cfg.batch_size,), replace=False)
+            Yb = jnp.take(Y, idx, axis=0)
+            warm = None
+        inf, pll, vlb, warm = estep(C, d, tau, Yb, warm)
+        if cfg.em_mode == BATCH:
+            cd, tr = mstep_batch(C, d, tau, Yb, inf)
+            C, d, tau = cd.C, cd.d, tr.tau
+            cd_c, tau_c = cd.cost, tr.cost
+        else:
+            C, d, tau, P, cumH, cd_c, tau_c, full_tau = mstep_online(
+                jnp.asarray(n), C, d, tau, Yb, inf, P, cumH
+            )
+            if cfg.fully_update_tau:
+                tau = full_tau
+        seq.append((C, d, tau, pll, vlb, cd_c, tau_c))
+
+    stack = lambda i: jnp.stack([s[i] for s in seq])
+    return FitResult(
+        C=C, d=d, tau=tau,
+        C_seq=stack(0), d_seq=stack(1), tau_seq=stack(2),
+        post_loglik=stack(3), var_lower_bound=stack(4),
+        cd_cost=stack(5), tau_cost=stack(6),
+    )
+
+
 # --------------------------------------------------------------------------
 # reference-compatible class driver
 # --------------------------------------------------------------------------
@@ -370,17 +469,7 @@ class PPGPFAfit:
         bin_size_ms = float(experiment.binSize)
         key = jax.random.PRNGKey(seed)
 
-        estep = jax.jit(
-            lambda C, d, tau, Yb, warm: _estep(C, d, tau, Yb, T, bin_size_ms, warm, cfg)
-        )
-        mstep_batch = jax.jit(
-            lambda C, d, tau, inf: _mstep_full(C, d, tau, Yj, inf, bin_size_ms, cfg)
-        )
-        mstep_online = jax.jit(
-            lambda n, C, d, tau, Yb, inf, P, cumH: _online_mstep(
-                n, C, d, tau, Yb, inf, bin_size_ms, cfg, P, cumH
-            )
-        )
+        estep, mstep_batch, mstep_online = _phase_programs(T, bin_size_ms, cfg)
 
         C, d, tau = p.C, p.d, p.tau
         warm = None
@@ -413,7 +502,7 @@ class PPGPFAfit:
 
             t0 = time.time()
             if cfg.em_mode == BATCH:
-                cd, tr = mstep_batch(C, d, tau, inf)
+                cd, tr = mstep_batch(C, d, tau, Yb, inf)
                 C, d, tau = cd.C, cd.d, tr.tau
                 cd_c, tau_c = cd.cost, tr.cost
             else:

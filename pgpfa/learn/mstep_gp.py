@@ -31,7 +31,6 @@ from pgpfa.models.params import (
     tau_to_log_gamma,
     time_sqdist,
 )
-from pgpfa.utils.optim import minimize_newton_scalar
 
 
 class TauResult(NamedTuple):
@@ -53,10 +52,14 @@ def pauto_sum(means: jnp.ndarray, vsm_gps: jnp.ndarray) -> jnp.ndarray:
 
 def tau_cost(p: jnp.ndarray, pauto_k: jnp.ndarray, num_trials, dif_sq: jnp.ndarray, eps: float = 0.001) -> jnp.ndarray:
     """Negative per-latent GP marginal-likelihood term (to minimize)."""
+    from pgpfa.ops.blockmat import solve_psd_mixed
+
     K = rbf_kernel_from_gamma(p, dif_sq, eps)
     L = jnp.linalg.cholesky(K)
     logdet = 2.0 * jnp.sum(jnp.log(jnp.diagonal(L)))
-    Kinv_ps = jsl.cho_solve((L, True), pauto_k)
+    # mixed-precision solve: a many-RHS f64 triangular solve would stall on
+    # TPU (see pgpfa/ops/blockmat.py); differentiable and ~1e-12 accurate.
+    Kinv_ps = solve_psd_mixed(K, pauto_k)
     return 0.5 * num_trials * logdet + 0.5 * jnp.trace(Kinv_ps)
 
 
@@ -70,6 +73,51 @@ def tau_cost_with_prior(
     return tau_cost(p, pauto_k, num_trials, dif_sq, eps) + reg
 
 
+def _tau_derivatives(p, pauto_k, num_trials, dif_sq, eps):
+    """Analytic (grad, curvature) of :func:`tau_cost` via trace identities.
+
+    With ``a = exp(p)``, ``S = (1-eps) exp(-a/2 difSq)``, ``K = S + eps I``::
+
+        K'  = S * (-difSq a / 2)
+        K'' = S * ((difSq a / 2)^2 - difSq a / 2)
+        g   = 0.5 R tr(Kinv K') - 0.5 tr(Kinv K' Kinv P)
+        h   = 0.5 R (tr(Kinv K'') - tr(M M))
+              - 0.5 (tr(Kinv K'' Kinv P) - 2 tr(M N P-contraction))
+
+    where ``M = Kinv K'``, ``N = M Kinv``. All matmuls — no nested autodiff
+    through factorizations (which compiles catastrophically and faults on
+    TPU; this replaced a ``jax.grad(jax.grad(tau_cost))`` formulation).
+    """
+    from pgpfa.ops.blockmat import inv_psd_mixed
+
+    a = jnp.exp(p)
+    T = dif_sq.shape[-1]
+    S = (1.0 - eps) * jnp.exp(-0.5 * a * dif_sq)
+    K = S + eps * jnp.eye(T, dtype=dif_sq.dtype)
+    B = -0.5 * a * dif_sq
+    Kp = S * B  # dK/dp
+    Kpp = S * (B * B + B)  # d2K/dp2
+
+    Kinv = inv_psd_mixed(K)
+    M = Kinv @ Kp
+    N = M @ Kinv  # Kinv K' Kinv (symmetric)
+    g = 0.5 * num_trials * jnp.trace(M) - 0.5 * jnp.vdot(N, pauto_k)
+
+    KinvKpp = Kinv @ Kpp
+    tr_MM = jnp.vdot(M, M.T)
+    dN = KinvKpp @ Kinv - 2.0 * (M @ N)
+    h = 0.5 * num_trials * (jnp.trace(KinvKpp) - tr_MM) - 0.5 * jnp.vdot(dN, pauto_k)
+    return g, h
+
+
+def tau_grad(p, pauto_k, num_trials, dif_sq, eps: float = 0.001):
+    return _tau_derivatives(p, pauto_k, num_trials, dif_sq, eps)[0]
+
+
+def tau_hess(p, pauto_k, num_trials, dif_sq, eps: float = 0.001):
+    return _tau_derivatives(p, pauto_k, num_trials, dif_sq, eps)[1]
+
+
 def learn_tau(
     means: jnp.ndarray,
     vsm_gps: jnp.ndarray,
@@ -78,13 +126,14 @@ def learn_tau(
     num_trials=None,
     prior: Optional[tuple] = None,
     eps: float = 0.001,
-    maxiter: int = 100,
+    maxiter: int = 20,
     precomp: Optional[jnp.ndarray] = None,
 ) -> TauResult:
-    """Optimize every latent's timescale (jittable; latents vmapped).
+    """Optimize every latent's timescale (jittable; latents batched).
 
     Args:
         prior: optional ``(old_tau, stepsize)`` proximal penalty (online EM).
+        maxiter: fixed Newton iteration count (static).
         precomp: optionally pass a precomputed/``psum``-reduced ``PautoSum``
             ``(xdim, T, T)``; then ``num_trials`` must be given.
     """
@@ -96,25 +145,76 @@ def learn_tau(
     T = precomp.shape[-1]
     dif_sq = time_sqdist(T, dtype=precomp.dtype)
     p0 = tau_to_log_gamma(jnp.asarray(tau0).reshape(-1), bin_size_ms)
+    xdim = p0.shape[0]
+    lane = jnp.arange(xdim)
 
     if prior is None:
-        def solve_one(p_init, ps_k, _old):
-            fun = lambda p: tau_cost(p, ps_k, num_trials, dif_sq, eps)
-            return minimize_newton_scalar(fun, p_init, maxiter=maxiter)
+        def cost_fn(k_p):
+            k, p = k_p
+            return tau_cost(p, precomp[k], num_trials, dif_sq, eps)
 
-        old = jnp.zeros_like(p0)
+        def gh_fn(k_p):
+            k, p = k_p
+            return _tau_derivatives(p, precomp[k], num_trials, dif_sq, eps)
     else:
         old_tau, stepsize = prior
-
-        def solve_one(p_init, ps_k, old_k):
-            fun = lambda p: tau_cost_with_prior(
-                p, ps_k, num_trials, dif_sq, bin_size_ms, old_k, stepsize, eps
-            )
-            return minimize_newton_scalar(fun, p_init, maxiter=maxiter)
-
         old = jnp.asarray(old_tau).reshape(-1)
 
-    res = jax.vmap(solve_one)(p0, precomp, old)
+        def cost_fn(k_p):
+            k, p = k_p
+            return tau_cost_with_prior(
+                p, precomp[k], num_trials, dif_sq, bin_size_ms, old[k], stepsize, eps
+            )
+
+        def gh_fn(k_p):
+            k, p = k_p
+            g, h = _tau_derivatives(p, precomp[k], num_trials, dif_sq, eps)
+            tau = log_gamma_to_tau(p, bin_size_ms)
+            g_reg = (tau - old[k]) / stepsize**2 * (-0.5 * tau)
+            h_reg = (0.25 * tau**2 + (tau - old[k]) * 0.25 * tau) / stepsize**2
+            return g + g_reg, h + h_reg
+
+    x, f = _run_tau_newton(p0, lane, cost_fn, gh_fn, maxiter)
+
     return TauResult(
-        tau=log_gamma_to_tau(res.x, bin_size_ms), cost=res.fun, niter=res.niter
+        tau=log_gamma_to_tau(x, bin_size_ms), cost=f,
+        niter=jnp.full((xdim,), maxiter, dtype=jnp.int32),
     )
+
+
+def _run_tau_newton(p0, lane, cost_fn, gh_fn, n_iter):
+    """Fixed-iteration branchless guarded Newton over latents.
+
+    TPU-first control flow: a FIXED number of iterations via ``lax.scan`` with
+    best-so-far tracking — no ``while_loop``, no line-search loop, no
+    data-dependent branching. (A vmapped while_loop formulation triggered a
+    value-dependent TPU worker crash in this environment; beyond that, fixed
+    iteration counts are the idiomatic XLA shape for cheap inner optimizers.)
+    Each iteration tries the Newton step and a 4x-damped fallback and keeps
+    the best objective seen, so progress is monotone; Newton's quadratic
+    convergence makes ~20 iterations ample (validated to 1e-6 cost parity vs
+    scipy in tests).
+    """
+    vcost = jax.vmap(lambda k, p: cost_fn((k, p)))
+    vgh = jax.vmap(lambda k, p: gh_fn((k, p)))
+
+    def body(carry, _):
+        x, f = carry
+        g, h = vgh(lane, x)
+        newton = g / jnp.maximum(h, 1e-12)
+        step = jnp.where(h > 1e-12, newton, jnp.clip(g, -1.0, 1.0))
+        step = jnp.clip(step, -3.0, 3.0)
+        cand1 = x - step
+        cand2 = x - 0.25 * step
+        f1 = vcost(lane, cand1)
+        f2 = vcost(lane, cand2)
+        f1 = jnp.where(jnp.isfinite(f1), f1, jnp.inf)
+        f2 = jnp.where(jnp.isfinite(f2), f2, jnp.inf)
+        use2 = f2 < f1
+        f_new = jnp.where(use2, f2, f1)
+        x_new = jnp.where(use2, cand2, cand1)
+        better = f_new < f
+        return (jnp.where(better, x_new, x), jnp.where(better, f_new, f)), None
+
+    (x, f), _ = jax.lax.scan(body, (p0, vcost(lane, p0)), None, length=n_iter)
+    return x, f

@@ -81,12 +81,16 @@ def chol_logdet(M: jnp.ndarray) -> jnp.ndarray:
 
 
 def blocks_inv(K: jnp.ndarray) -> jnp.ndarray:
-    """Per-block SPD inverse of a ``(..., T, T)`` stack via Cholesky."""
-    import jax.scipy.linalg as jsl
+    """Per-block SPD inverse of a ``(..., T, T)`` stack (mixed precision).
 
-    L = jnp.linalg.cholesky(K)
-    eye = jnp.broadcast_to(jnp.eye(K.shape[-1], dtype=K.dtype), K.shape)
-    return jsl.cho_solve((L, True), eye)
+    This inverse defines the prior term of the Laplace objective, so it gets
+    an extra Newton-Schulz step of refinement (residual ~1e-13).
+    """
+    import jax
+
+    if K.ndim == 2:
+        return inv_psd_mixed(K, ns_steps=4)
+    return jax.vmap(lambda k: inv_psd_mixed(k, ns_steps=4))(K.reshape(-1, *K.shape[-2:])).reshape(K.shape)
 
 
 # --------------------------------------------------------------------------

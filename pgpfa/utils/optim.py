@@ -89,6 +89,8 @@ def minimize_newton_scalar(
     maxiter: int = 100,
     tol: float = 1e-12,
     max_backtracks: int = 30,
+    grad_fn: Callable = None,
+    hess_fn: Callable = None,
 ) -> MinimizeResult:
     """Safeguarded 1-D Newton minimization with backtracking.
 
@@ -96,22 +98,40 @@ def minimize_newton_scalar(
     (one scalar per latent; reference optimizes it with BFGS at
     ``funs/learning.py:283-288``). Falls back to a gradient step when the local
     curvature is not positive.
+
+    Args:
+        grad_fn, hess_fn: optional analytic first/second derivatives. Prefer
+            these for TPU paths — nested autodiff through factorizations
+            inside while_loops compiles catastrophically slowly there.
     """
-    grad_fn = jax.grad(fun)
-    hess_fn = jax.grad(grad_fn)
+    if grad_fn is None:
+        grad_fn = jax.grad(fun)
+    if hess_fn is None:
+        hess_fn = jax.grad(jax.grad(fun))
     t_min = 0.5**max_backtracks
+    max_step = 5.0  # log-space trust region: steps beyond this are meaningless
+    dec_tol = 2e-9  # Newton-decrement stop: remaining decrease ~ g^2/(2h)
 
     def body(carry):
-        x, f, it = carry
+        x, f, it, stalled = carry
         g = grad_fn(x)
         h = hess_fn(x)
-        # Newton direction; gradient direction if curvature is not positive.
+        # Newton-decrement termination: |g| itself has an f64 noise floor
+        # proportional to the objective scale, so a pure gradient tolerance
+        # can be unreachable; the expected remaining decrease g^2/(2h) is the
+        # right absolute criterion (same fix as the Laplace Newton).
+        converged = (h > 0) & (g * g / jnp.maximum(h, 1e-30) <= dec_tol)
+        # Newton direction; capped gradient direction if curvature is not
+        # positive; magnitude clipped to the trust region.
         direction = jnp.where(h > 1e-12, g / jnp.maximum(h, 1e-12), g)
+        direction = jnp.clip(direction, -max_step, max_step)
         slope = g * direction  # >= 0 for a descent direction `x - t*direction`
+        slack = 1e-13 * (1.0 + jnp.abs(f))
 
         def ls_cond(ls):
             t, f_try = ls
-            return (f_try > f - 1e-4 * t * slope) & (t > t_min)
+            bad = ~jnp.isfinite(f_try) | (f_try > f - 1e-4 * t * slope + slack)
+            return bad & (t > t_min)
 
         def ls_body(ls):
             t, _ = ls
@@ -119,14 +139,19 @@ def minimize_newton_scalar(
             return t, fun(x - t * direction)
 
         t, f_try = jax.lax.while_loop(ls_cond, ls_body, (1.0, fun(x - direction)))
-        accept = f_try <= f
+        accept = jnp.isfinite(f_try) & (f_try <= f + slack) & ~converged
         x_next = jnp.where(accept, x - t * direction, x)
-        f_next = jnp.where(accept, f_try, f)
-        return x_next, f_next, it + 1
+        f_next = jnp.where(accept, jnp.minimum(f_try, f), f)
+        # A rejected step means the line search is exhausted (or the
+        # decrement converged) — terminate instead of spinning to maxiter
+        # (lanes run in lockstep under vmap).
+        return x_next, f_next, it + 1, ~accept
 
     def cond(carry):
-        x, _, it = carry
-        return (it < maxiter) & (jnp.abs(grad_fn(x)) > tol)
+        x, _, it, stalled = carry
+        return (it < maxiter) & ~stalled & (jnp.abs(grad_fn(x)) > tol)
 
-    x, f, it = jax.lax.while_loop(cond, body, (x0, fun(x0), jnp.asarray(0)))
+    x, f, it, _ = jax.lax.while_loop(
+        cond, body, (x0, fun(x0), jnp.asarray(0), jnp.asarray(False))
+    )
     return MinimizeResult(x=x, fun=f, grad_norm=jnp.abs(grad_fn(x)), niter=it)

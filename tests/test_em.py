@@ -71,6 +71,28 @@ def test_ground_truth_recovery():
     np.testing.assert_allclose(np.sort(np.asarray(res.tau)), [0.1, 0.4], atol=0.1)
 
 
+def test_online_fullbatch_first_iter_equals_batch():
+    """Online 'fullyUpdateAll' with batchSize == numTrials and one iteration
+    is exactly one batch-EM iteration (the subsample is a permutation and the
+    M-step is the unregularized one)."""
+    train = pgpfa.dataset(
+        xdim=2, ydim=15, numTrials=6, trialDur=600, binSize=20,
+        dOffset=0.5, fixTau=True, fixedTau=np.array([0.15, 0.35]), seed=3,
+    )
+    init = pgpfa.initializeParams(2, 15, train, seed=0)
+    batch = fit(init, train.Y, 20.0, FitConfig(max_em_iter=1))
+    online = fit(
+        init, train.Y, 20.0,
+        FitConfig(em_mode="online", online_update="fullyUpdateAll",
+                  max_em_iter=1, batch_size=6),
+    )
+    np.testing.assert_allclose(
+        float(online.post_loglik[0]), float(batch.post_loglik[0]), atol=1e-9
+    )
+    np.testing.assert_allclose(np.asarray(online.C), np.asarray(batch.C), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(online.tau), np.asarray(batch.tau), atol=1e-8)
+
+
 def test_online_em_improves():
     train = pgpfa.dataset(
         xdim=2, ydim=20, numTrials=12, trialDur=800, binSize=20,
