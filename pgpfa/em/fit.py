@@ -36,9 +36,10 @@ from pgpfa.infer.laplace import InfRes, laplace_estep_from_arrays
 from pgpfa.infer.variational import vi_estep_from_arrays
 from pgpfa.learn.mstep_gp import learn_tau
 from pgpfa.learn.mstep_obs import (
+    _neuron_grad_hess,
     cd_cost,
-    cd_hessian,
     learn_cd,
+    learn_cd_newton,
     update_d_closed_form,
 )
 from pgpfa.models.params import Params, pack_cd, unpack_cd
@@ -76,7 +77,7 @@ class FitConfig:
     newton_maxiter: int = 100
     cd_maxiter: int = 500
     cd_tol: float = 1e-9
-    tau_maxiter: int = 100
+    tau_maxiter: int = 12
     vi_maxiter: int = 1000
     vi_gtol: float = 1e-8
     eps_noise: float = 0.001
@@ -168,29 +169,46 @@ def _online_mstep(n, C, d, tau, Yb, inf: InfRes, bin_size_ms, cfg: FitConfig, P,
     )
 
     if cfg.update_cd_jointly:
-        v_old = pack_cd(C, d)
+        # per-neuron block form: the exact joint Hessian of the (C, d) cost is
+        # block-diagonal per neuron, so priors/curvature carry as
+        # (ydim, xdim+1, xdim+1) blocks (see learn_cd_newton).
+        theta_old = jnp.concatenate([C, d[:, None]], axis=1)  # (ydim, q)
+        qdim = theta_old.shape[1]
+        R_b = Yb.shape[0]
+        gh = jax.vmap(
+            lambda th, y_n: _neuron_grad_hess(th, y_n, inf.post_mean, inf.post_vsm, R_b)
+        )
+        Yb_n = jnp.swapaxes(Yb, 0, 1)  # neurons mapped
         if method == "diag":
-            P_new = jnp.eye(v_old.shape[0], dtype=C.dtype) / stepsize**2
-            cd = learn_cd(Yb, inf.post_mean, inf.post_vsm, C, d,
-                          prior=(P_new, v_old), maxiter=cfg.cd_maxiter, tol=cfg.cd_tol)
+            P_new = jnp.broadcast_to(
+                jnp.eye(qdim, dtype=C.dtype) / stepsize**2, P.shape
+            )
+            cd = learn_cd_newton(Yb, inf.post_mean, inf.post_vsm, C, d,
+                                 prior_blocks=(P_new, theta_old),
+                                 n_iter=min(cfg.cd_maxiter, 10))
             newC, newd, cost = cd.C, cd.d, cd.cost
         elif method == "hess":
-            # exact-autodiff replacement for the reference's finite-difference
-            # Hessian (funs/learning.py:545-549); the accumulated curvature is
-            # the Gaussian-prior precision for the next step.
-            H = cd_hessian(v_old, Yb, inf.post_mean, inf.post_vsm)
-            P_new = H + P
-            cd = learn_cd(Yb, inf.post_mean, inf.post_vsm, C, d,
-                          prior=(P_new, v_old), maxiter=cfg.cd_maxiter, tol=cfg.cd_tol)
+            # exact-autodiff-grade replacement for the reference's
+            # finite-difference Hessian (funs/learning.py:545-549); the
+            # accumulated curvature is the Gaussian-prior precision.
+            _, Hb = gh(theta_old, Yb_n)
+            P_new = Hb + P
+            cd = learn_cd_newton(Yb, inf.post_mean, inf.post_vsm, C, d,
+                                 prior_blocks=(P_new, theta_old),
+                                 n_iter=min(cfg.cd_maxiter, 10))
             newC, newd, cost = cd.C, cd.d, cd.cost
         else:  # 'grad': one damped Newton step (funs/learning.py:875-891)
-            g = jax.grad(cd_cost)(v_old, Yb, inf.post_mean, inf.post_vsm)
-            H = cd_hessian(v_old, Yb, inf.post_mean, inf.post_vsm)
-            v_new = v_old - stepsize * jnp.linalg.solve(H, g)
-            newC, newd = unpack_cd(v_new, C.shape[1], C.shape[0])
-            cost = cd_cost(v_new, Yb, inf.post_mean, inf.post_vsm)
+            from pgpfa.ops.blockmat import solve_psd_mixed
+
+            g, Hb = gh(theta_old, Yb_n)
+            step = jax.vmap(solve_psd_mixed)(
+                Hb + 1e-10 * jnp.eye(qdim, dtype=C.dtype), g
+            )
+            theta_new = theta_old - stepsize * step
+            newC, newd = theta_new[:, :-1], theta_new[:, -1]
+            cost = cd_cost(pack_cd(newC, newd), Yb, inf.post_mean, inf.post_vsm)
             P_new = P
-            cumH = cumH + H
+            cumH = cumH + Hb
     else:
         # closed-form d, then C-only update (reference funs/learning.py:634-676)
         newd = update_d_closed_form(Yb, inf.post_mean, inf.post_vsm, C)
@@ -222,8 +240,19 @@ def _online_mstep(n, C, d, tau, Yb, inf: InfRes, bin_size_ms, cfg: FitConfig, P,
     return newC, newd, tr.tau, P_new, cumH, cost, tr.cost, tr.tau
 
 
-def _prior_dim(cfg: FitConfig, xdim: int, ydim: int) -> int:
-    return xdim * ydim + ydim if cfg.update_cd_jointly else xdim * ydim
+def _init_prior(cfg: FitConfig, xdim: int, ydim: int, dtype):
+    """Initial prior precision / cumulative curvature.
+
+    Joint (C, d) updates carry per-neuron blocks ``(ydim, xdim+1, xdim+1)``
+    (the exact joint Hessian is block-diagonal per neuron); the C-only path
+    keeps the packed dense form. Reference init: identity
+    (``funs/engine.py:283-286``).
+    """
+    if cfg.update_cd_jointly:
+        q = xdim + 1
+        return jnp.broadcast_to(jnp.eye(q, dtype=dtype), (ydim, q, q))
+    n = xdim * ydim
+    return jnp.eye(n, dtype=dtype)
 
 
 # --------------------------------------------------------------------------
@@ -255,9 +284,8 @@ def _fit_scan(C0, d0, tau0, Y, T: int, bin_size_ms: float, cfg: FitConfig, key):
         carry0 = (C0, d0, tau0, warm0)
         (C, d, tau, _), seq = jax.lax.scan(step, carry0, None, length=cfg.max_em_iter)
     else:
-        pdim = _prior_dim(cfg, xdim, ydim)
-        P0 = jnp.eye(pdim, dtype=C0.dtype)
-        cumH0 = jnp.eye(pdim, dtype=C0.dtype)
+        P0 = _init_prior(cfg, xdim, ydim, C0.dtype)
+        cumH0 = P0
 
         def step(carry, n):
             C, d, tau, P, cumH, k = carry
@@ -374,9 +402,8 @@ def fit_loop(
 
     C, d, tau = p.C, p.d, p.tau
     warm = None
-    pdim = _prior_dim(cfg, xdim, ydim)
-    P = jnp.eye(pdim, dtype=C.dtype)
-    cumH = jnp.eye(pdim, dtype=C.dtype)
+    P = _init_prior(cfg, xdim, ydim, C.dtype)
+    cumH = P
     seq = []
     for n in range(cfg.max_em_iter):
         if cfg.em_mode == BATCH:
@@ -473,9 +500,8 @@ class PPGPFAfit:
 
         C, d, tau = p.C, p.d, p.tau
         warm = None
-        pdim = _prior_dim(cfg, xdim, ydim)
-        P = jnp.eye(pdim, dtype=C.dtype)
-        cumH = jnp.eye(pdim, dtype=C.dtype)
+        P = _init_prior(cfg, xdim, ydim, C.dtype)
+        cumH = P
 
         posteriorLikelihood, variationalLowerBound = [], []
         learningDetails, paramSeq = [], [dict(initParams)]

@@ -126,7 +126,7 @@ def learn_tau(
     num_trials=None,
     prior: Optional[tuple] = None,
     eps: float = 0.001,
-    maxiter: int = 20,
+    maxiter: int = 12,
     precomp: Optional[jnp.ndarray] = None,
 ) -> TauResult:
     """Optimize every latent's timescale (jittable; latents batched).
