@@ -30,6 +30,11 @@ import jax as _jax
 if _os.environ.get("PGPFA_X64", "1") != "0":
     _jax.config.update("jax_enable_x64", True)
 
+# Faithful f32 matmuls everywhere: TPU's default f32 matmul precision is
+# bf16-grade, which silently degrades the f32 stages of the mixed-precision
+# solvers. The hot matmuls are f64 (unaffected); the f32 ones are small.
+_jax.config.update("jax_default_matmul_precision", "highest")
+
 # Persistent compilation cache: the fused EM program is large (batched Newton
 # + L-BFGS + scan) and TPU compiles run minutes; caching makes that a one-time
 # cost per (shape, config). Opt out with PGPFA_COMPILE_CACHE=0 or point

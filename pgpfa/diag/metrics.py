@@ -53,6 +53,56 @@ def mean_cov_y_from_params(params) -> tuple:
     return ey, eyy
 
 
+def cd_error_bars(params, Y, means, vsms) -> np.ndarray:
+    """Inverse-Hessian standard errors for the packed (C, d) estimate.
+
+    Reference ``funs/util.py:436-447`` (which numerically differentiates the
+    gradient); here the exact autodiff Hessian of the M-step cost is used.
+
+    Args:
+        Y: counts ``(R, ydim, T)``; means/vsms: posterior moments.
+
+    Returns:
+        ``sqrt(diag(H^{-1}))`` over the packed vec(C, d) layout.
+    """
+    import jax.numpy as jnp
+
+    from pgpfa.learn.mstep_obs import cd_hessian
+    from pgpfa.models.params import pack_cd
+
+    vec = pack_cd(jnp.asarray(params["C"]), jnp.asarray(np.ravel(params["d"])))
+    H = np.asarray(
+        cd_hessian(vec, jnp.asarray(Y, dtype=vec.dtype), jnp.asarray(means), jnp.asarray(vsms))
+    )
+    return np.sqrt(np.diag(np.linalg.inv(H)))
+
+
+def mvnpdf(x, mean, cov) -> float:
+    """Multivariate normal density (reference ``funs/util.py:475-480``)."""
+    x = np.ravel(np.asarray(x, dtype=float))
+    mean = np.ravel(np.asarray(mean, dtype=float))
+    k = x.shape[0]
+    resid = x - mean
+    return float(
+        (2 * np.pi) ** (-k / 2)
+        * np.linalg.det(cov) ** (-0.5)
+        * np.exp(-0.5 * resid @ np.linalg.solve(cov, resid))
+    )
+
+
+def mvnpdf_use_inv_cov(x, mean, inv_cov) -> float:
+    """MVN density from the precision matrix (reference ``funs/util.py:482-487``)."""
+    x = np.ravel(np.asarray(x, dtype=float))
+    mean = np.ravel(np.asarray(mean, dtype=float))
+    k = x.shape[0]
+    resid = x - mean
+    return float(
+        (2 * np.pi) ** (-k / 2)
+        * np.linalg.det(inv_cov) ** 0.5
+        * np.exp(-0.5 * resid @ (inv_cov @ resid))
+    )
+
+
 def orthonormalized_trajectories(C: np.ndarray, means: np.ndarray) -> np.ndarray:
     """SVD-orthonormalized latent trajectories (reference ``funs/engine.py:515-521``).
 

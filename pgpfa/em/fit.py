@@ -75,9 +75,10 @@ class FitConfig:
     # inner-optimizer knobs
     newton_gtol: float = 1e-8
     newton_maxiter: int = 100
-    cd_maxiter: int = 500
+    cd_maxiter: int = 500  # L-BFGS path cap
+    cd_newton_iters: int = 8  # per-neuron Newton fixed count
     cd_tol: float = 1e-9
-    tau_maxiter: int = 12
+    tau_maxiter: int = 8
     vi_maxiter: int = 1000
     vi_gtol: float = 1e-8
     eps_noise: float = 0.001
@@ -131,7 +132,7 @@ def _estep(C, d, tau, Y, T, bin_size_ms, warm, cfg: FitConfig, compute_cov: bool
 def _mstep_full(C, d, tau, Y, inf: InfRes, bin_size_ms, cfg: FitConfig):
     """Unregularized M-step (batch EM; reference ``funs/learning.py:295-309``)."""
     cd = learn_cd(Y, inf.post_mean, inf.post_vsm, C, d,
-                  maxiter=cfg.cd_maxiter, tol=cfg.cd_tol)
+                  maxiter=cfg.cd_newton_iters, tol=cfg.cd_tol)
     tr = learn_tau(inf.post_mean, inf.post_vsm_gp, tau, bin_size_ms,
                    eps=cfg.eps_noise, maxiter=cfg.tau_maxiter)
     return cd, tr
@@ -185,7 +186,7 @@ def _online_mstep(n, C, d, tau, Yb, inf: InfRes, bin_size_ms, cfg: FitConfig, P,
             )
             cd = learn_cd_newton(Yb, inf.post_mean, inf.post_vsm, C, d,
                                  prior_blocks=(P_new, theta_old),
-                                 n_iter=min(cfg.cd_maxiter, 10))
+                                 n_iter=cfg.cd_newton_iters)
             newC, newd, cost = cd.C, cd.d, cd.cost
         elif method == "hess":
             # exact-autodiff-grade replacement for the reference's
@@ -195,7 +196,7 @@ def _online_mstep(n, C, d, tau, Yb, inf: InfRes, bin_size_ms, cfg: FitConfig, P,
             P_new = Hb + P
             cd = learn_cd_newton(Yb, inf.post_mean, inf.post_vsm, C, d,
                                  prior_blocks=(P_new, theta_old),
-                                 n_iter=min(cfg.cd_maxiter, 10))
+                                 n_iter=cfg.cd_newton_iters)
             newC, newd, cost = cd.C, cd.d, cd.cost
         else:  # 'grad': one damped Newton step (funs/learning.py:875-891)
             from pgpfa.ops.blockmat import solve_psd_mixed
@@ -382,6 +383,9 @@ def fit_loop(
     bin_size_ms: float,
     config: Optional[FitConfig] = None,
     seed: int = 0,
+    checkpoint_path: Optional[str] = None,
+    checkpoint_every: int = 10,
+    resume_from: Optional[str] = None,
 ) -> FitResult:
     """Host-loop fit: the same jitted phase programs as :func:`fit`, driven by
     a Python loop (one device sync per phase per iteration, ~ms).
@@ -391,6 +395,10 @@ def fit_loop(
     environment faults on the fused scan while each phase compiles and runs
     fine — see .claude/skills/verify/SKILL.md); the fused :func:`fit` remains
     the preferred path elsewhere.
+
+    Checkpoint/resume (SURVEY.md §5): with ``checkpoint_path`` the loop writes
+    ``(params, warm-start modes, em_iter)`` every ``checkpoint_every``
+    iterations; ``resume_from`` restarts a batch fit mid-run from such a file.
     """
     cfg = config or FitConfig()
     p = init_params if isinstance(init_params, Params) else Params.from_dict(init_params)
@@ -402,10 +410,21 @@ def fit_loop(
 
     C, d, tau = p.C, p.d, p.tau
     warm = None
+    start_iter = 0
+    if resume_from is not None:
+        from pgpfa.utils.io import load_checkpoint
+
+        state = load_checkpoint(resume_from)
+        C = jnp.asarray(state["params"]["C"], dtype=C.dtype)
+        d = jnp.asarray(state["params"]["d"], dtype=C.dtype)
+        tau = jnp.asarray(state["params"]["tau"], dtype=C.dtype)
+        if state["warm"] is not None:
+            warm = jnp.asarray(state["warm"], dtype=C.dtype)
+        start_iter = state["em_iter"]
     P = _init_prior(cfg, xdim, ydim, C.dtype)
     cumH = P
     seq = []
-    for n in range(cfg.max_em_iter):
+    for n in range(start_iter, cfg.max_em_iter):
         if cfg.em_mode == BATCH:
             Yb = Y
         else:
@@ -425,6 +444,15 @@ def fit_loop(
             if cfg.fully_update_tau:
                 tau = full_tau
         seq.append((C, d, tau, pll, vlb, cd_c, tau_c))
+        if checkpoint_path is not None and (n + 1) % checkpoint_every == 0:
+            from pgpfa.utils.io import save_checkpoint
+
+            save_checkpoint(
+                checkpoint_path,
+                {"C": np.asarray(C), "d": np.asarray(d), "tau": np.asarray(tau)},
+                em_iter=n + 1,
+                warm=None if warm is None else np.asarray(warm),
+            )
 
     stack = lambda i: jnp.stack([s[i] for s in seq])
     return FitResult(
@@ -502,6 +530,23 @@ class PPGPFAfit:
         warm = None
         P = _init_prior(cfg, xdim, ydim, C.dtype)
         cumH = P
+
+        if verbose:
+            from pgpfa.utils.io import print_options_banner
+
+            rows = [
+                ("Dimensionality of Latent State", xdim),
+                ("Dimensionality of Observed State (# neurons)", ydim),
+                ("EM mode", self_mode := ("Batch" if cfg.em_mode == BATCH else "Online")),
+                ("Max EM iterations", cfg.max_em_iter),
+                ("Inference Method", cfg.inference_method),
+            ]
+            if cfg.em_mode == ONLINE:
+                rows += [
+                    ("Online Param Update Method", f"`{cfg.online_update}`"),
+                    ("Batch size (trials)", cfg.batch_size),
+                ]
+            print_options_banner("Fit Options", rows)
 
         posteriorLikelihood, variationalLowerBound = [], []
         learningDetails, paramSeq = [], [dict(initParams)]

@@ -89,8 +89,10 @@ def blocks_inv(K: jnp.ndarray) -> jnp.ndarray:
     import jax
 
     if K.ndim == 2:
-        return inv_psd_mixed(K, ns_steps=4)
-    return jax.vmap(lambda k: inv_psd_mixed(k, ns_steps=4))(K.reshape(-1, *K.shape[-2:])).reshape(K.shape)
+        return inv_psd_mixed(K, ns_steps=4, f64_steps=2)
+    return jax.vmap(lambda k: inv_psd_mixed(k, ns_steps=4, f64_steps=2))(
+        K.reshape(-1, *K.shape[-2:])
+    ).reshape(K.shape)
 
 
 # --------------------------------------------------------------------------
@@ -137,22 +139,40 @@ def solve_psd_mixed(H: jnp.ndarray, rhs: jnp.ndarray, L32=None, ir_steps: int = 
     return x
 
 
-def inv_psd_mixed(H: jnp.ndarray, L32=None, ns_steps: int = 3) -> jnp.ndarray:
-    """SPD inverse via f32 Cholesky + f64 Newton-Schulz refinement.
+def inv_psd_mixed(H: jnp.ndarray, L32=None, ns_steps: int = 3, f64_steps: int = 1) -> jnp.ndarray:
+    """SPD inverse via f32 Cholesky + Newton-Schulz refinement.
 
     ``X <- X (2I - H X)`` squares the inverse's residual each step; the result
     is symmetrized. Requires ``kappa(H) * 1e-7 < 1`` for convergence, which
     the eps-jittered GP precision guarantees by construction
     (``K``'s eigenvalues live in ``[eps_noise, T]``).
+
+    Precision schedule: the first ``ns_steps - f64_steps`` refinement steps
+    run in f32 (each step's own rounding floor is ~1e-7, which the next step
+    squares away); the last ``f64_steps`` run in f64. On TPU an f64 matmul is
+    ~35x an f32 one, so f32-first cuts the refinement cost ~3x. Use
+    ``f64_steps=2`` when the inverse feeds an objective directly (extra f64
+    step drives the residual to the f64 floor ~ kappa * 1e-16).
     """
     import jax.scipy.linalg as jsl
 
     D = H.shape[-1]
     if L32 is None:
         L32 = chol32(H)
+    # faithful f32 matmuls: TPU's default f32 matmul precision is bf16-grade,
+    # which would floor the refinement at ~1e-3 instead of ~1e-7.
+    import jax
+
+    hi = jax.lax.Precision.HIGHEST
+    mm = lambda a, b: jnp.matmul(a, b, precision=hi)
+    f64_steps = min(f64_steps, ns_steps)
     eye32 = jnp.eye(D, dtype=jnp.float32)
-    X = jsl.cho_solve((L32, True), eye32).astype(H.dtype)
+    H32 = H.astype(jnp.float32)
+    X32 = jsl.cho_solve((L32, True), eye32)
+    for _ in range(ns_steps - f64_steps):
+        X32 = X32 + mm(X32, eye32 - mm(H32, X32))
+    X = X32.astype(H.dtype)
     eye = jnp.eye(D, dtype=H.dtype)
-    for _ in range(ns_steps):
-        X = X + X @ (eye - H @ X)
+    for _ in range(f64_steps):
+        X = X + mm(X, eye - mm(H, X))
     return 0.5 * (X + jnp.swapaxes(X, -1, -2))

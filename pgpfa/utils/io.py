@@ -66,6 +66,23 @@ def load_checkpoint(filename: str):
     return out
 
 
+def print_options_banner(title: str, rows) -> None:
+    """ASCII options box (reference ``funs/engine.py:157-178``,
+    ``funs/util.py:673-694``).
+
+    Args:
+        rows: iterable of ``(label, value)`` pairs.
+    """
+    width = 55
+    print("+" + f" {title} ".center(width, "-") + "+")
+    for label, value in rows:
+        body = f" {label}: "
+        val = f"{value} "
+        pad = width - len(body) - len(val)
+        print("|" + body + " " * max(pad, 1) + val + "|")
+    print("+" + "-" * width + "+")
+
+
 class Printer:
     """One-line-rewrite progress printer (reference ``funs/util.py:121-128``)."""
 

@@ -1,0 +1,103 @@
+"""Auxiliary subsystems: checkpoint/resume mid-fit, error bars, mvnpdf,
+non-joint (C-only) online updates, closed-form d."""
+
+import os
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+import pgpfa
+from pgpfa.em.fit import FitConfig, fit_loop
+
+
+@pytest.fixture(scope="module")
+def setup():
+    train = pgpfa.dataset(
+        xdim=2, ydim=10, numTrials=6, trialDur=400, binSize=20,
+        dOffset=0.5, fixTau=True, fixedTau=np.array([0.12, 0.3]), seed=6,
+    )
+    init = pgpfa.initializeParams(2, 10, train, seed=0)
+    return train, init
+
+
+def test_checkpoint_resume_mid_fit(tmp_path, setup):
+    """A fit resumed from an iteration-k checkpoint finishes with the same
+    parameters as the uninterrupted fit (batch mode is deterministic)."""
+    train, init = setup
+    cfg = FitConfig(max_em_iter=6)
+    full = fit_loop(init, train.Y, 20.0, cfg)
+
+    ck = os.path.join(tmp_path, "ck.npz")
+    fit_loop(init, train.Y, 20.0, FitConfig(max_em_iter=3),
+             checkpoint_path=ck, checkpoint_every=3)
+    resumed = fit_loop(init, train.Y, 20.0, cfg, resume_from=ck)
+    np.testing.assert_allclose(np.asarray(resumed.C), np.asarray(full.C), atol=1e-8)
+    np.testing.assert_allclose(np.asarray(resumed.tau), np.asarray(full.tau), atol=1e-9)
+    np.testing.assert_allclose(
+        np.asarray(resumed.post_loglik), np.asarray(full.post_loglik)[3:], atol=1e-7
+    )
+
+
+def test_fit_loop_equals_fused_fit(setup):
+    train, init = setup
+    cfg = FitConfig(max_em_iter=4)
+    a = fit_loop(init, train.Y, 20.0, cfg)
+    b = pgpfa.fit(init, train.Y, 20.0, cfg)
+    np.testing.assert_allclose(np.asarray(a.post_loglik), np.asarray(b.post_loglik), rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(a.C), np.asarray(b.C), atol=1e-10)
+
+
+def test_cd_error_bars_and_mvnpdf(setup):
+    train, init = setup
+    from pgpfa.diag.metrics import cd_error_bars, mvnpdf, mvnpdf_use_inv_cov
+    from pgpfa.infer.laplace import laplace_estep_from_arrays
+
+    inf, _ = laplace_estep_from_arrays(
+        jnp.asarray(init["C"]), jnp.asarray(init["d"]), jnp.asarray(init["tau"]),
+        jnp.asarray(train.Y, dtype=jnp.float64), train.T, 20.0,
+    )
+    bars = cd_error_bars(init, train.Y, np.asarray(inf.post_mean), np.asarray(inf.post_vsm))
+    assert bars.shape == (2 * 10 + 10,)
+    assert np.all(bars > 0)
+
+    cov = np.array([[2.0, 0.3], [0.3, 1.0]])
+    x, mu = np.array([0.5, -0.2]), np.array([0.0, 0.1])
+    from scipy.stats import multivariate_normal
+
+    want = multivariate_normal.pdf(x, mean=mu, cov=cov)
+    np.testing.assert_allclose(mvnpdf(x, mu, cov), want, rtol=1e-10)
+    np.testing.assert_allclose(mvnpdf_use_inv_cov(x, mu, np.linalg.inv(cov)), want, rtol=1e-8)
+
+
+def test_non_joint_cd_update(setup):
+    """updateCdJointly=False: closed-form d + C-only proximal update
+    (reference ``funs/learning.py:634-676``)."""
+    train, init = setup
+    cfg = FitConfig(em_mode="online", online_update="diag", max_em_iter=4,
+                    batch_size=4, update_cd_jointly=False)
+    res = fit_loop(init, train.Y, 20.0, cfg, seed=1)
+    assert np.all(np.isfinite(np.asarray(res.post_loglik)))
+    assert np.all(np.asarray(res.tau) > 0)
+
+
+def test_update_d_closed_form(setup):
+    train, init = setup
+    from pgpfa.infer.laplace import laplace_estep_from_arrays
+    from pgpfa.learn.mstep_obs import update_d_closed_form
+
+    C = jnp.asarray(init["C"]); d = jnp.asarray(init["d"])
+    inf, _ = laplace_estep_from_arrays(
+        C, d, jnp.asarray(init["tau"]),
+        jnp.asarray(train.Y, dtype=jnp.float64), train.T, 20.0,
+    )
+    d_new = update_d_closed_form(jnp.asarray(train.Y, dtype=jnp.float64),
+                                 inf.post_mean, inf.post_vsm, C)
+    # moment-matching: with the new d, the model-implied mean rate matches the
+    # empirical mean rate per neuron
+    hh = jnp.einsum("nk,rkt->rnt", C, inf.post_mean)
+    quad = jnp.einsum("nk,rtkl,nl->rnt", C, inf.post_vsm, C)
+    implied = np.asarray(jnp.mean(jnp.exp(hh + 0.5 * quad), axis=(0, 2)) * jnp.exp(d_new))
+    empirical = train.Y.mean(axis=(0, 2)) + 1e-5
+    np.testing.assert_allclose(implied, empirical, rtol=1e-10)
