@@ -131,15 +131,22 @@ def learn_cd_newton(
     prior_blocks: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
     n_iter: int = 10,
 ) -> CdResult:
-    """Per-neuron batched Newton for the (C, d) M-step.
+    """All-neurons batched Newton for the (C, d) M-step.
 
     TPU-first redesign of the reference's joint ``scipy.optimize.minimize``
     over vec(C, d) (``funs/learning.py:93-141``): the expected-complete-data
-    cost SEPARATES per neuron — each neuron's ``(xdim+1)`` parameters are
+    cost SEPARATES per neuron — each neuron's ``q = xdim+1`` parameters are
     independent and the joint Hessian is block-diagonal — so the M-step is
-    ``ydim`` tiny convex Newton problems batched with ``vmap``: a fixed
-    iteration count of branchless guarded steps with ``(xdim+1)^2`` solves.
-    Replaces hundreds of coupled L-BFGS zoom-linesearch iterations.
+    ``ydim`` tiny convex Newton problems solved simultaneously with a fixed
+    iteration count of branchless guarded steps.
+
+    MXU formulation: posterior-moment tensors over the flattened
+    ``s = R*T`` sample axis are precomputed ONCE (``m``, ``V``, ``m (x) m``,
+    ``m (x) V``, ``V (x) V``), so every per-iteration sufficient statistic is
+    one ``(ydim, s) @ (s, x^k)`` matmul against the current Poisson rates —
+    no per-neuron broadcast intermediates. The ``V (x) V`` tensor is
+    ``s * xdim^4`` entries; precomputation is gated at xdim <= 8 with a
+    contraction fallback above.
 
     Args:
         prior_blocks: optional ``(P (ydim, q, q), center (ydim, q))`` per-
@@ -147,58 +154,107 @@ def learn_cd_newton(
             EM). The reference's joint-Hessian prior is exactly representable
             because the true joint Hessian IS block-diagonal per neuron.
     """
-    R = Y.shape[0]
-    q = C0.shape[1] + 1
-    theta0 = jnp.concatenate([C0, d0[:, None]], axis=1)  # (ydim, q)
-    Yn = jnp.swapaxes(Y, 0, 1)  # (ydim, R, T): neurons are the mapped axis
+    from pgpfa.ops.blockmat import solve_psd_mixed
 
-    if prior_blocks is None:
-        cost_fn = lambda th, y_n: _neuron_cost(th, y_n, means, vsms, R)
-        gh_fn = lambda th, y_n: _neuron_grad_hess(th, y_n, means, vsms, R)
-        extra = (Yn,)
-    else:
+    R, ydim, T = Y.shape
+    xdim = C0.shape[1]
+    q = xdim + 1
+    s = R * T
+    dt = C0.dtype
+
+    # -- precomputed moment tensors over the flattened sample axis ----------
+    M2 = jnp.swapaxes(means, 1, 2).reshape(s, xdim)  # (s, x)
+    Vf = vsms.reshape(s, xdim * xdim)  # (s, x^2)
+    P2 = (M2[:, :, None] * M2[:, None, :]).reshape(s, xdim * xdim)  # m (x) m
+    MV = (M2[:, :, None] * Vf[:, None, :]).reshape(s, xdim**3)  # m (x) V
+    big_vv = xdim > 8
+    if not big_vv:
+        VV = (Vf[:, :, None] * Vf[:, None, :]).reshape(s, xdim**4)  # V (x) V
+    Yf = jnp.swapaxes(Y, 0, 1).reshape(ydim, s)  # (ydim, s)
+    Ym = Yf @ M2  # (ydim, x): sum_s y m
+    Ysum = jnp.sum(Yf, axis=1)  # (ydim,)
+
+    theta0 = jnp.concatenate([C0, d0[:, None]], axis=1)  # (ydim, q)
+
+    if prior_blocks is not None:
         Pb, center = prior_blocks
 
-        def cost_fn(th, y_n, P_n, c_n):
-            dv = th - c_n
-            return _neuron_cost(th, y_n, means, vsms, R) + 0.5 * dv @ (P_n @ dv)
+    def rates(theta):
+        C, dn = theta[:, :-1], theta[:, -1]
+        O = (C[:, :, None] * C[:, None, :]).reshape(ydim, xdim * xdim)
+        eta = C @ M2.T + 0.5 * (O @ Vf.T) + dn[:, None]  # (ydim, s)
+        return jnp.exp(eta), O
 
-        def gh_fn(th, y_n, P_n, c_n):
-            g, H = _neuron_grad_hess(th, y_n, means, vsms, R)
-            return g + P_n @ (th - c_n), H + P_n
+    def cost(theta):
+        """Per-neuron costs (ydim,). sum_s y*hh is linear in theta -> exact
+        from the precomputed Ym/Ysum; only the rate sum needs fresh work."""
+        C, dn = theta[:, :-1], theta[:, -1]
+        rate, _ = rates(theta)
+        y_hh = jnp.sum(C * Ym, axis=1) + dn * Ysum
+        f = -(y_hh - jnp.sum(rate, axis=1)) / R
+        if prior_blocks is not None:
+            dv = theta - center
+            f = f + 0.5 * jnp.einsum("nq,nqp,np->n", dv, Pb, dv)
+        return f
 
-        extra = (Yn, Pb, center)
+    def grad_hess(theta):
+        C, dn = theta[:, :-1], theta[:, -1]
+        rate, O = rates(theta)
+        A1 = rate @ M2  # (ydim, x): sum rate * m
+        W = (rate @ Vf).reshape(ydim, xdim, xdim)  # sum rate * V
+        Wc = jnp.einsum("nkl,nl->nk", W, C)  # sum rate * (V c)
+        rsum = jnp.sum(rate, axis=1)
 
-    def solve_one(th0, *args):
-        def body(carry, _):
-            th, f = carry
-            g, H = gh_fn(th, *args)
-            # SPD solve via f32 Cholesky + refinement: f64 LU (jnp.linalg.solve)
-            # is not implemented on TPU.
-            from pgpfa.ops.blockmat import solve_psd_mixed
+        g_c = -(Ym - (A1 + Wc)) / R
+        g_d = -(Ysum - rsum) / R
+        g = jnp.concatenate([g_c, g_d[:, None]], axis=1)  # (ydim, q)
 
-            Hj = H + 1e-10 * jnp.eye(q, dtype=th.dtype)
-            step = solve_psd_mixed(Hj, g)
-            cand1 = th - step
-            cand2 = th - 0.25 * step
-            f1 = cost_fn(cand1, *args)
-            f2 = cost_fn(cand2, *args)
-            f1 = jnp.where(jnp.isfinite(f1), f1, jnp.inf)
-            f2 = jnp.where(jnp.isfinite(f2), f2, jnp.inf)
-            use2 = f2 < f1
-            f_new = jnp.where(use2, f2, f1)
-            th_new = jnp.where(use2, cand2, cand1)
-            better = f_new < f
-            return (jnp.where(better, th_new, th), jnp.minimum(f_new, f)), None
+        S_mm = (rate @ P2).reshape(ydim, xdim, xdim)
+        S_mv = (rate @ MV).reshape(ydim, xdim, xdim, xdim)  # [n,k,l,j]: m_k V_lj
+        T2 = jnp.einsum("nklj,nj->nkl", S_mv, C)  # sum rate * m (Vc)^T
+        if big_vv:
+            # contraction fallback: sum_s rate * (Vc)(Vc)^T without V(x)V
+            VC = jnp.einsum("skl,nl->nsk", vsms.reshape(s, xdim, xdim), C)
+            T4 = jnp.einsum("ns,nsk,nsl->nkl", rate, VC, VC)
+        else:
+            S_vv = (rate @ VV).reshape(ydim, xdim, xdim, xdim, xdim)  # [n,k,i,l,j]
+            T4 = jnp.einsum("nkilj,ni,nj->nkl", S_vv, C, C)
+        H_cc = (S_mm + T2 + jnp.swapaxes(T2, 1, 2) + T4 + W) / R
+        H_cd = (A1 + Wc) / R  # (ydim, x)
+        H_dd = rsum / R
+        top = jnp.concatenate([H_cc, H_cd[:, :, None]], axis=2)
+        bot = jnp.concatenate([H_cd, H_dd[:, None]], axis=1)[:, None, :]
+        H = jnp.concatenate([top, bot], axis=1)  # (ydim, q, q)
+        if prior_blocks is not None:
+            g = g + jnp.einsum("nqp,np->nq", Pb, theta - center)
+            H = H + Pb
+        return g, H
 
-        (th, f), _ = jax.lax.scan(body, (th0, cost_fn(th0, *args)), None, length=n_iter)
-        g, _ = gh_fn(th, *args)
-        return th, f, jnp.max(jnp.abs(g))
+    eye_q = jnp.eye(q, dtype=dt)
 
-    th, f_n, gn = jax.vmap(solve_one)(theta0, *extra)
+    def body(carry, _):
+        th, f = carry
+        g, H = grad_hess(th)
+        # SPD solve via f32 Cholesky + refinement: f64 LU/trisolve are
+        # unusable on TPU (see pgpfa/ops/blockmat.py).
+        step = jax.vmap(solve_psd_mixed)(H + 1e-10 * eye_q, g)
+        cand1 = th - step
+        cand2 = th - 0.25 * step
+        f1 = cost(cand1)
+        f2 = cost(cand2)
+        f1 = jnp.where(jnp.isfinite(f1), f1, jnp.inf)
+        f2 = jnp.where(jnp.isfinite(f2), f2, jnp.inf)
+        use2 = (f2 < f1)[:, None]
+        f_new = jnp.minimum(f1, f2)
+        th_new = jnp.where(use2, cand2, cand1)
+        better = (f_new < f)[:, None]
+        return (jnp.where(better, th_new, th), jnp.minimum(f_new, f)), None
+
+    (th, f_n), _ = jax.lax.scan(body, (theta0, cost(theta0)), None, length=n_iter)
+    g, _ = grad_hess(th)
     C, d = th[:, :-1], th[:, -1]
     return CdResult(
-        C=C, d=d, cost=jnp.sum(f_n), grad_norm=jnp.max(gn),
+        C=C, d=d, cost=jnp.sum(f_n), grad_norm=jnp.max(jnp.abs(g)),
         niter=jnp.asarray(n_iter),
     )
 

@@ -174,5 +174,12 @@ def inv_psd_mixed(H: jnp.ndarray, L32=None, ns_steps: int = 3, f64_steps: int = 
     X = X32.astype(H.dtype)
     eye = jnp.eye(D, dtype=H.dtype)
     for _ in range(f64_steps):
-        X = X + mm(X, eye - mm(H, X))
+        # The residual R = I - H X is a cancellation and must be resolved in
+        # f64; the correction X @ R is NOT — its entries are ~|R| * |X|, so an
+        # f32 product only perturbs it at relative 1e-7, i.e. absolutely at
+        # ~1e-7 * |R| * |X|, below the refined accuracy. Halves the f64
+        # matmul cost per step.
+        Rres = eye - mm(H, X)
+        corr = mm(X.astype(jnp.float32), Rres.astype(jnp.float32)).astype(H.dtype)
+        X = X + corr
     return 0.5 * (X + jnp.swapaxes(X, -1, -2))
