@@ -198,6 +198,8 @@ def _run_tau_newton(p0, lane, cost_fn, gh_fn, n_iter):
     vcost = jax.vmap(lambda k, p: cost_fn((k, p)))
     vgh = jax.vmap(lambda k, p: gh_fn((k, p)))
 
+    lane2 = jnp.concatenate([lane, lane])
+
     def body(carry, _):
         x, f = carry
         g, h = vgh(lane, x)
@@ -206,8 +208,10 @@ def _run_tau_newton(p0, lane, cost_fn, gh_fn, n_iter):
         step = jnp.clip(step, -3.0, 3.0)
         cand1 = x - step
         cand2 = x - 0.25 * step
-        f1 = vcost(lane, cand1)
-        f2 = vcost(lane, cand2)
+        # one batched eval for both candidates (halves the kernel count —
+        # these tiny solves are launch-overhead-bound on TPU)
+        f12 = vcost(lane2, jnp.concatenate([cand1, cand2]))
+        f1, f2 = jnp.split(f12, 2)
         f1 = jnp.where(jnp.isfinite(f1), f1, jnp.inf)
         f2 = jnp.where(jnp.isfinite(f2), f2, jnp.inf)
         use2 = f2 < f1

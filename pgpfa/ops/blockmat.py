@@ -165,12 +165,15 @@ def inv_psd_mixed(H: jnp.ndarray, L32=None, ns_steps: int = 3, f64_steps: int = 
 
     hi = jax.lax.Precision.HIGHEST
     mm = lambda a, b: jnp.matmul(a, b, precision=hi)
+    from pgpfa.ops.pallas_kernels import maybe_ns_step
+
     f64_steps = min(f64_steps, ns_steps)
     eye32 = jnp.eye(D, dtype=jnp.float32)
     H32 = H.astype(jnp.float32)
     X32 = jsl.cho_solve((L32, True), eye32)
     for _ in range(ns_steps - f64_steps):
-        X32 = X32 + mm(X32, eye32 - mm(H32, X32))
+        # fused Pallas kernel when PGPFA_PALLAS=1, XLA two-matmul otherwise
+        X32 = maybe_ns_step(H32, X32)
     X = X32.astype(H.dtype)
     eye = jnp.eye(D, dtype=H.dtype)
     for _ in range(f64_steps):
