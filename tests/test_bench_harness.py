@@ -1,0 +1,38 @@
+"""Benchmark harness smoke tests (no TPU, no reference subprocess)."""
+
+import json
+import os
+
+import numpy as np
+
+
+def test_build_problem_deterministic():
+    """The benchmark data is numpy-backend (platform-independent) and stable
+    across calls — required for cross-process baseline comparability."""
+    from bench import build_problem
+
+    ds1, init1 = build_problem()
+    ds2, init2 = build_problem()
+    assert ds1.Y.shape == (100, 90, 140)
+    np.testing.assert_array_equal(ds1.Y, ds2.Y)
+    np.testing.assert_allclose(init1["C"], init2["C"])
+    # physiological firing rates
+    assert 5.0 < float(np.mean(ds1.avgFR)) < 40.0
+
+
+def test_baseline_cache_format():
+    path = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                        "BASELINE_MEASURED.json")
+    with open(path) as f:
+        blob = json.load(f)
+    assert blob["sec_per_iter"] > 0
+    assert blob["shape"] == [100, 90, 140]
+    assert len(blob["post_loglik"]) == blob["n_iters"]
+
+
+def test_stevenson_surrogate_shape():
+    from pgpfa.data.surrogate import stevenson_surrogate
+
+    ds = stevenson_surrogate(xdim=3, seed=1, numTrials=4)
+    assert ds.Y.shape == (4, 90, 140)
+    assert ds.binSize == 10 and ds.trialDur == 1400
