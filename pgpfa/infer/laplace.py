@@ -192,6 +192,9 @@ def laplace_estep_from_arrays(
         A = linear_predictor(C, d, X_tr)
         W = hessian_weights(C, weights[:, None] * jnp.exp(A))
         H = assemble_hessian(W, Kinv)
+        # the trailing f64 refinement step is REQUIRED: with an f32-floor
+        # covariance the EM-trajectory parity degrades to ~4e-6 (> 1e-6
+        # target; measured against the oracle) — the moments feed the M-step.
         return inv_psd_mixed(H)
 
     cov = jax.vmap(posterior_cov)(X, Y)
