@@ -119,6 +119,9 @@ def main():
         file=sys.stderr,
     )
 
+    if "--all-configs" in sys.argv:
+        secondary_configs(file=sys.stderr)
+
     print(
         json.dumps(
             {
@@ -129,6 +132,53 @@ def main():
             }
         )
     )
+
+
+def secondary_configs(file=sys.stderr, iters: int = 10):
+    """Time the remaining BASELINE.json workload configs (secondary metrics,
+    stderr): example.py-style synthetic Laplace EM, variational EM on the same
+    data, and stochastic/online EM ('diag') on the Stevenson-shaped data."""
+    import numpy as np
+
+    import pgpfa
+    from pgpfa.em.fit import FitConfig, fit_loop
+
+    synth = pgpfa.dataset(xdim=2, ydim=20, numTrials=5, trialDur=1000, binSize=20,
+                          dOffset=1, fixTau=True, fixedTau=np.linspace(0.1, 0.5, 2),
+                          seed=123, backend="numpy")
+    init_s = pgpfa.initializeParams(2, 20, synth, seed=0)
+    ds, init = build_problem()
+
+    jobs = [
+        ("synthetic Laplace-EM (example.py config)", synth, init_s,
+         FitConfig(max_em_iter=iters)),
+        ("Stevenson-shaped online-EM 'diag' (batch 10)", ds, init,
+         FitConfig(em_mode="online", online_update="diag", batch_size=10,
+                   max_em_iter=iters)),
+        # LAST: the variational E-step's vmapped L-BFGS while_loop crashes
+        # this TPU's worker (same Mosaic bug class as the tau vmap(while_loop)
+        # crash); after a worker crash the backend is unusable, so any jobs
+        # after this one would fail too. VI runs fine on CPU (tests).
+        ("synthetic variational-EM", synth, init_s,
+         FitConfig(inference_method="variational", max_em_iter=iters)),
+    ]
+    for name, data, ip, cfg in jobs:
+        try:
+            res = fit_loop(ip, data.Y, data.binSize, cfg)  # compile
+            float(np.asarray(res.post_loglik)[-1])
+            t0 = time.time()
+            res = fit_loop(ip, data.Y, data.binSize, cfg)
+            float(np.asarray(res.post_loglik)[-1])
+            dt = time.time() - t0
+            print(
+                json.dumps({"metric": name, "value": round(iters / dt, 4),
+                            "unit": "EM iters/sec"}),
+                file=file,
+            )
+        except Exception as e:  # noqa: BLE001 — report and continue
+            print(
+                json.dumps({"metric": name, "error": str(e)[:200]}), file=file
+            )
 
 
 if __name__ == "__main__":

@@ -78,7 +78,7 @@ class FitConfig:
     cd_maxiter: int = 500  # L-BFGS path cap
     cd_newton_iters: int = 8  # per-neuron Newton fixed count
     cd_tol: float = 1e-9
-    tau_maxiter: int = 8
+    tau_maxiter: int = 6
     vi_maxiter: int = 1000
     vi_gtol: float = 1e-8
     eps_noise: float = 0.001
