@@ -155,10 +155,8 @@ def secondary_configs(file=sys.stderr, iters: int = 10):
         ("Stevenson-shaped online-EM 'diag' (batch 10)", ds, init,
          FitConfig(em_mode="online", online_update="diag", batch_size=10,
                    max_em_iter=iters)),
-        # LAST: the variational E-step's vmapped L-BFGS while_loop crashes
-        # this TPU's worker (same Mosaic bug class as the tau vmap(while_loop)
-        # crash); after a worker crash the backend is unusable, so any jobs
-        # after this one would fail too. VI runs fine on CPU (tests).
+        # VI maps trials sequentially (lax.map) — the vmapped while_loop
+        # form crashed this TPU's worker; see pgpfa/infer/variational.py.
         ("synthetic variational-EM", synth, init_s,
          FitConfig(inference_method="variational", max_em_iter=iters)),
     ]

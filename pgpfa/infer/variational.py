@@ -100,12 +100,18 @@ def vi_estep_from_arrays(
     if rho_init is None:
         rho_init = jnp.zeros((R, ydim, T), dtype=C.dtype)
 
-    def solve_trial(rho0, y_tr):
+    def solve_trial(args):
+        rho0, y_tr = args
         fun = lambda r: dual_cost(r, y_tr, C, d, K, Kinv, ridge)
         res = minimize_lbfgs(fun, rho0, maxiter=maxiter, tol=gtol)
         return res.x, res.fun
 
-    rho, bound = jax.vmap(solve_trial)(rho_init, Y)
+    # lax.map (sequential trials), NOT vmap: this TPU's Mosaic runtime
+    # crashes its worker on vmapped while_loop optimizers (value-dependent;
+    # see CLAUDE.md). Sequential mapping of the L-BFGS solves is crash-free
+    # and numerically identical; trial-level parallelism for VI comes from
+    # sharding trials across chips instead.
+    rho, bound = jax.lax.map(solve_trial, (rho_init, Y))
     means = jax.vmap(lambda r, y: vi_posterior_mean(r, y, C, K))(rho, Y)
 
     def trial_cov(r):
