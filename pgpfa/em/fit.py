@@ -42,7 +42,7 @@ from pgpfa.learn.mstep_obs import (
     learn_cd_newton,
     update_d_closed_form,
 )
-from pgpfa.models.params import Params, pack_cd, unpack_cd
+from pgpfa.models.params import Params, pack_cd
 
 BATCH = "batch"
 ONLINE = "online"

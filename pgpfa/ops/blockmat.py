@@ -61,7 +61,11 @@ def cov_views(cov: jnp.ndarray, xdim: int, T: int):
 
 
 def solve_psd(H: jnp.ndarray, rhs: jnp.ndarray) -> jnp.ndarray:
-    """Cholesky solve ``H^{-1} rhs`` for symmetric positive-definite ``H``."""
+    """Cholesky solve ``H^{-1} rhs`` for symmetric positive-definite ``H``.
+
+    CPU utility: a plain f64 triangular solve stalls on this TPU — device
+    code must use :func:`solve_psd_mixed` / :func:`inv_psd_mixed` instead.
+    """
     import jax.scipy.linalg as jsl
 
     L = jnp.linalg.cholesky(H)
