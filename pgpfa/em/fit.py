@@ -79,7 +79,7 @@ class FitConfig:
     cd_newton_iters: int = 8  # per-neuron Newton fixed count
     cd_tol: float = 1e-9
     tau_maxiter: int = 6
-    vi_maxiter: int = 1000
+    vi_maxiter: int = 150  # fixed L-BFGS scan length (branchless dual solve)
     vi_gtol: float = 1e-8
     eps_noise: float = 0.001
 
@@ -386,9 +386,15 @@ def fit_loop(
     checkpoint_path: Optional[str] = None,
     checkpoint_every: int = 10,
     resume_from: Optional[str] = None,
+    batch_indices=None,
 ) -> FitResult:
     """Host-loop fit: the same jitted phase programs as :func:`fit`, driven by
     a Python loop (one device sync per phase per iteration, ~ms).
+
+    ``batch_indices`` optionally injects the online-EM minibatch index
+    sequence (iterable of int arrays, one per EM iteration) instead of
+    drawing it from ``jax.random`` — used to run the NumPy oracle on an
+    identical trial stream for trajectory-parity tests.
 
     Numerically identical to :func:`fit`. Use this on hardware where compiling
     the single fused EM program is problematic (the tunneled TPU in this
@@ -428,8 +434,11 @@ def fit_loop(
         if cfg.em_mode == BATCH:
             Yb = Y
         else:
-            key, sub = jax.random.split(key)
-            idx = jax.random.choice(sub, R, shape=(cfg.batch_size,), replace=False)
+            if batch_indices is not None:
+                idx = jnp.asarray(batch_indices[n])
+            else:
+                key, sub = jax.random.split(key)
+                idx = jax.random.choice(sub, R, shape=(cfg.batch_size,), replace=False)
             Yb = jnp.take(Y, idx, axis=0)
             warm = None
         inf, pll, vlb, warm = estep(C, d, tau, Yb, warm)

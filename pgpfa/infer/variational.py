@@ -12,6 +12,13 @@ primary path so the solve is an unconstrained L-BFGS that jits; trials are
 vmapped so every cost evaluation is a batched structured-precision Cholesky.
 Box-bounded L-BFGS-B has no jit-native equivalent — parity is asserted on the
 converged variational bound, not on lambda iterates (SURVEY.md §7 hard part 4).
+
+The dual solve is a FIXED-iteration branchless L-BFGS (``lax.scan``; see
+``pgpfa/utils/optim.py``) so it vmaps over trials without while_loops — the
+earlier optax-L-BFGS-under-vmap form crashed this TPU's Mosaic worker and had
+to map trials sequentially. The log-determinant in the dual cost uses the
+mixed-precision f32-factor + f64-Taylor-correction path
+(``pgpfa.ops.blockmat.logdet_psd_mixed``) instead of an f64 Cholesky.
 """
 
 from __future__ import annotations
@@ -24,8 +31,14 @@ import jax.numpy as jnp
 from pgpfa.infer.laplace import InfRes
 from pgpfa.models.params import Params, rbf_kernel
 from pgpfa.models.poisson_gpfa import neg_log_posterior
-from pgpfa.ops.blockmat import assemble_hessian, blocks_inv, chol_logdet, cov_views, inv_psd_mixed
-from pgpfa.utils.optim import minimize_lbfgs
+from pgpfa.ops.blockmat import (
+    assemble_hessian,
+    blocks_inv,
+    cov_views,
+    inv_psd_mixed,
+    logdet_psd_mixed,
+)
+from pgpfa.utils.optim import minimize_lbfgs_fixed
 
 
 def _posterior_precision(lam, C, Kinv, ridge=1e-6):
@@ -53,7 +66,7 @@ def dual_cost(rho, Y_tr, C, d, K, Kinv, ridge=1e-6):
     a = 0.5 * jnp.einsum("kt,ktu,ku->", u, K, u)
     b = -jnp.vdot(d, jnp.sum(lmy, axis=1))
     prec = _posterior_precision(lam, C, Kinv, ridge)
-    c = -0.5 * chol_logdet(prec)  # = 0.5 * logdet(posterior covariance)
+    c = -0.5 * logdet_psd_mixed(prec)  # = 0.5 * logdet(posterior covariance)
     e = jnp.vdot(lam, rho - 1.0)
     return a + b + c + e
 
@@ -78,7 +91,7 @@ def vi_estep_from_arrays(
     bin_size_ms: float,
     rho_init=None,
     gtol: float = 1e-8,
-    maxiter: int = 1000,
+    maxiter: int = 150,
     compute_cov: bool = True,
     eps_noise: float = 0.001,
     ridge: float = 1e-6,
@@ -100,18 +113,17 @@ def vi_estep_from_arrays(
     if rho_init is None:
         rho_init = jnp.zeros((R, ydim, T), dtype=C.dtype)
 
-    def solve_trial(args):
-        rho0, y_tr = args
+    def solve_trial(rho0, y_tr):
         fun = lambda r: dual_cost(r, y_tr, C, d, K, Kinv, ridge)
-        res = minimize_lbfgs(fun, rho0, maxiter=maxiter, tol=gtol)
+        res = minimize_lbfgs_fixed(fun, rho0, n_iter=maxiter)
         return res.x, res.fun
 
-    # lax.map (sequential trials), NOT vmap: this TPU's Mosaic runtime
-    # crashes its worker on vmapped while_loop optimizers (value-dependent;
-    # see CLAUDE.md). Sequential mapping of the L-BFGS solves is crash-free
-    # and numerically identical; trial-level parallelism for VI comes from
-    # sharding trials across chips instead.
-    rho, bound = jax.lax.map(solve_trial, (rho_init, Y))
+    # vmap over trials: every L-BFGS iteration becomes one batched
+    # cost/gradient evaluation (batched f32 Cholesky + f64 refinement — MXU
+    # work). Safe because the fixed-iteration scan optimizer has no
+    # while_loops (the previous formulation crashed this TPU's worker and
+    # forced sequential lax.map; see CLAUDE.md).
+    rho, bound = jax.vmap(solve_trial)(rho_init, Y)
     means = jax.vmap(lambda r, y: vi_posterior_mean(r, y, C, K))(rho, Y)
 
     def trial_cov(r):

@@ -83,6 +83,107 @@ def minimize_lbfgs(
     )
 
 
+def minimize_lbfgs_fixed(
+    fun: Callable[[jnp.ndarray], jnp.ndarray],
+    x0: jnp.ndarray,
+    n_iter: int,
+    memory_size: int = 10,
+) -> MinimizeResult:
+    """Fixed-iteration, branchless L-BFGS driven by ``lax.scan``.
+
+    TPU-first control flow (same design as the tau M-step Newton,
+    ``pgpfa/learn/mstep_gp.py``): no ``while_loop``, no data-dependent
+    branching, a FIXED number of iterations — safe to ``vmap`` over trials on
+    this TPU (vmapped ``while_loop`` optimizers crash its Mosaic worker; see
+    CLAUDE.md) and the idiomatic XLA shape for inner optimizers.
+
+    Per iteration: two-loop recursion over a circular ``memory_size`` history
+    (empty slots carry ``rho = 0`` and no-op), then a branchless line search —
+    evaluate the full step and a quadratic-interpolation step, keep the best,
+    reject non-improving steps (monotone by construction). Rejected or
+    curvature-violating steps skip the memory update via masking.
+
+    Parity is defined at converged objective values (SURVEY.md §7), so the
+    caller picks ``n_iter`` large enough for its tolerance target and the
+    extra iterations past convergence are cheap no-ops (the step is rejected
+    once the objective stops improving).
+    """
+    shape = x0.shape
+    D = x0.size
+    dt = x0.dtype
+    f_of = lambda xf: fun(xf.reshape(shape))
+    vg = jax.value_and_grad(f_of)
+    m = memory_size
+
+    xf0 = x0.reshape(D)
+    f0, g0 = vg(xf0)
+    S0 = jnp.zeros((m, D), dtype=dt)
+    Ym0 = jnp.zeros((m, D), dtype=dt)
+    rho0 = jnp.zeros((m,), dtype=dt)
+    gamma0 = jnp.asarray(1.0, dtype=dt)
+
+    def body(carry, _):
+        x, f, g, S, Ym, rho, gamma = carry
+        # two-loop recursion; rho == 0 slots contribute nothing
+        q = g
+        alphas = [None] * m
+        for i in range(m - 1, -1, -1):
+            a = rho[i] * jnp.vdot(S[i], q)
+            q = q - a * Ym[i]
+            alphas[i] = a
+        r = gamma * q
+        for i in range(m):
+            b = rho[i] * jnp.vdot(Ym[i], r)
+            r = r + S[i] * (alphas[i] - b)
+        p = -r
+        slope = jnp.vdot(g, p)
+        # safeguard: fall back to steepest descent on a non-descent direction
+        bad = ~jnp.isfinite(slope) | (slope >= 0)
+        p = jnp.where(bad, -g, p)
+        slope = jnp.where(bad, -jnp.vdot(g, g), slope)
+
+        # branchless line search: full step + quadratic-interpolation step
+        f1 = f_of(x + p)
+        denom = f1 - f - slope
+        t_q = jnp.where(denom > 0, -0.5 * slope / jnp.where(denom > 0, denom, 1.0), 1.0)
+        t_q = jnp.clip(t_q, 0.05, 2.0)
+        f2 = f_of(x + t_q * p)
+        f1 = jnp.where(jnp.isfinite(f1), f1, jnp.inf)
+        f2 = jnp.where(jnp.isfinite(f2), f2, jnp.inf)
+        use2 = f2 < f1
+        t = jnp.where(use2, t_q, 1.0)
+        f_cand = jnp.minimum(f1, f2)
+        accept = f_cand < f
+        x_new = jnp.where(accept, x + t * p, x)
+        f_new = jnp.where(accept, f_cand, f)
+        _, g_new = vg(x_new)
+
+        # masked memory update (only accepted, curvature-positive steps)
+        s = x_new - x
+        y = g_new - g
+        sy = jnp.vdot(s, y)
+        valid = accept & (sy > 1e-13 * jnp.sqrt(jnp.vdot(s, s) * jnp.vdot(y, y))) & jnp.isfinite(sy)
+        S = jnp.roll(S, -1, axis=0).at[-1].set(jnp.where(valid, s, jnp.zeros_like(s)))
+        Ym = jnp.roll(Ym, -1, axis=0).at[-1].set(jnp.where(valid, y, jnp.zeros_like(y)))
+        rho = jnp.roll(rho, -1).at[-1].set(jnp.where(valid, 1.0 / jnp.where(valid, sy, 1.0), 0.0))
+        gamma = jnp.where(valid, sy / jnp.vdot(y, y), gamma)
+        # on a rejected step the quasi-Newton model is stale: flush it so the
+        # next iteration restarts from (shrunk) steepest descent
+        keep = jnp.where(accept, jnp.ones((), dtype=dt), jnp.zeros((), dtype=dt))
+        rho = rho * keep
+        gamma = jnp.where(accept, gamma, 0.1 * gamma)
+        return (x_new, f_new, g_new, S, Ym, rho, gamma), None
+
+    carry0 = (xf0, f0, g0, S0, Ym0, rho0, gamma0)
+    (x, f, g, *_), _ = jax.lax.scan(body, carry0, None, length=n_iter)
+    return MinimizeResult(
+        x=x.reshape(shape),
+        fun=f,
+        grad_norm=jnp.max(jnp.abs(g)),
+        niter=jnp.asarray(n_iter),
+    )
+
+
 def minimize_newton_scalar(
     fun: Callable[[jnp.ndarray], jnp.ndarray],
     x0: jnp.ndarray,
