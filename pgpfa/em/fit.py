@@ -225,9 +225,15 @@ def _online_mstep(n, C, d, tau, Yb, inf: InfRes, bin_size_ms, cfg: FitConfig, P,
         else:
             P_new = P
         if method == "grad":
+            from pgpfa.ops.blockmat import solve_psd_mixed
+
             g = jax.grad(c_cost)(vC_old)
             H = jax.hessian(c_cost)(vC_old)
-            vC_new = vC_old - stepsize * jnp.linalg.solve(H, g)
+            # SPD solve (f64 LU is unimplemented on TPU); tiny ridge matches
+            # the oracle and guards a semi-definite minibatch Hessian.
+            vC_new = vC_old - stepsize * solve_psd_mixed(
+                H + 1e-10 * jnp.eye(vC_old.shape[0], dtype=C.dtype), g
+            )
             cumH = cumH + H
         else:
             from pgpfa.utils.optim import minimize_lbfgs

@@ -163,8 +163,10 @@ def learn_cd(Y, means, vsms, C0, d0, method="TNC", prior=None):
             return cd_cost_grad(v, *a) + P @ (v - center)
 
         args = (Y, means, vsms)
+    # BFGS honors the tight gtol; TNC's projected-gradient test leaves
+    # ~1e-5 parameter slop that breaks 1e-6 trajectory parity.
     res = sopt.minimize(fun, v0, args=args, jac=jac, method=method,
-                        options={"gtol": 1e-10})
+                        options={"gtol": 1e-12} if method == "BFGS" else {"gtol": 1e-10})
     C, d = unpack_cd(res.x, C0.shape[1], C0.shape[0])
     return C, d, float(res.fun)
 
@@ -331,7 +333,7 @@ def update_d_closed_form(Y, means, vsms, C):
     return np.log(mean_y) - np.log(mean_rate)
 
 
-def learn_c_only(Y, means, vsms, C0, d_fixed, prior=None, method="TNC"):
+def learn_c_only(Y, means, vsms, C0, d_fixed, prior=None, method="BFGS"):
     """C-only optimization at fixed d (non-joint online path, reference
     ``funs/learning.py:360-442,634-676``). Packed layout: columns of C."""
     xdim, ydim = C0.shape[1], C0.shape[0]
@@ -354,7 +356,8 @@ def learn_c_only(Y, means, vsms, C0, d_fixed, prior=None, method="TNC"):
             g = g + P @ (v - center)
         return g
 
-    res = sopt.minimize(fun, v0, jac=jac, method=method, options={"gtol": 1e-10})
+    res = sopt.minimize(fun, v0, jac=jac, method=method,
+                        options={"gtol": 1e-12} if method == "BFGS" else {"gtol": 1e-10})
     return res.x.reshape(xdim, ydim).T, float(res.fun)
 
 
@@ -373,7 +376,7 @@ def online_em_fit(
     max_em_iter=None,
     update_cd_jointly=True,
     fully_update_tau=False,
-    cd_method="TNC",
+    cd_method="BFGS",
     eps: float = 0.001,
 ):
     """Online/stochastic EM with an injected minibatch index sequence.
