@@ -82,3 +82,122 @@ def test_util_shims(setup):
     C2, d2 = util.vecCdtoCd(vec, 2, 10)
     np.testing.assert_allclose(C2, init["C"])
     np.testing.assert_allclose(d2, init["d"])
+
+
+def test_objective_surface_shims(setup):
+    """The reference's public objective trio + dual functions, exercised the
+    way reference user code calls them (dense C_big/K_big built via
+    compat.util), with the reference's own dormant grad checks promoted to
+    real assertions (reference funs/learning.py:100-122, funs/inference.py:299-313)."""
+    import scipy.optimize as sopt
+
+    from pgpfa.compat import inference, learning, util
+
+    train, init = setup
+    T, xdim, ydim = train.T, 2, 10
+    Cb, db = util.makeCd_big(init, T)
+    Kb, _ = util.makeK_big(init, train.trialDur, train.binSize)
+    Kinv = np.linalg.inv(Kb)
+    ybar = train.data[0]["Y"].reshape(-1)
+    rng = np.random.default_rng(0)
+    x = 0.1 * rng.standard_normal(xdim * T)
+
+    # Laplace objective trio: grad/hess consistency
+    g_norm = np.linalg.norm(inference.negLogPosteriorUnNorm_grad(x, ybar, Cb, db, Kinv, xdim, ydim))
+    err = sopt.check_grad(
+        inference.negLogPosteriorUnNorm, inference.negLogPosteriorUnNorm_grad,
+        x, ybar, Cb, db, Kinv, xdim, ydim)
+    assert err / g_norm < 1e-6  # relative: check_grad noise scales with |g|
+    H = inference.negLogPosteriorUnNorm_hess(x, ybar, Cb, db, Kinv, xdim, ydim)
+    g = lambda z: inference.negLogPosteriorUnNorm_grad(z, ybar, Cb, db, Kinv, xdim, ydim)
+    e = np.zeros_like(x); e[3] = 1e-6
+    np.testing.assert_allclose(H[:, 3], (g(x + e) - g(x - e)) / 2e-6, atol=1e-4)
+
+    # Dual problem: lambda-space and rho-space agree; grad check in rho space
+    lam = np.exp(0.1 * rng.standard_normal(ydim * T))
+    f_lam = inference.dualProblem(lam, ybar, Cb, Kb, Kinv, db)
+    f_rho = inference.dualProblemRho(np.log(lam), ybar, Cb, Kb, Kinv, db)
+    np.testing.assert_allclose(f_lam, f_rho, rtol=1e-12)
+    err = sopt.check_grad(
+        inference.dualProblemRho, inference.dualProblemRho_grad,
+        np.log(lam), ybar, Cb, Kb, Kinv, db)
+    assert err < 1e-3  # reference-faithful grad neglects the tiny ridge term
+    cov, prec = inference.VIPostCov(Kinv, Cb, lam)
+    assert cov.shape == (xdim * T, xdim * T)
+    m = inference.VIPostMean(Kb, Cb, ybar, lam)
+    assert m.shape == (xdim * T,)
+
+    # M-step cost surface: grad checks + driver round trips
+    res, pll, _ = inference.laplace(train, init)
+    vecCd = util.CdtoVecCd(init["C"], init["d"])
+    g_norm = np.linalg.norm(learning.MStepObservationCost_grad(vecCd, xdim, ydim, train, res))
+    err = sopt.check_grad(
+        learning.MStepObservationCost, learning.MStepObservationCost_grad,
+        vecCd, xdim, ydim, train, res)
+    assert err / max(g_norm, 1.0) < 1e-5
+    pre = learning.makePrecomp(res)
+    p0 = np.asarray([-1.0])
+    err = sopt.check_grad(
+        learning.MStepGPtimescaleCost, learning.MStepGPtimescaleCost_grad,
+        p0, pre[0], 0.001)
+    assert err < 1e-4
+    newC, newd, cost = learning.learnLTparams(init, res, train, "newton")
+    assert newC.shape == (ydim, xdim) and np.isfinite(cost)
+    newTau, det = learning.learnGPparams(init, res, train)
+    assert newTau.shape == (xdim,)
+
+    # prior-regularized cost shims (reference sign convention)
+    invP = -np.eye(len(vecCd))
+    f = learning.MStepObservationCostWithPrior(vecCd + 0.1, init, xdim, ydim, train, res, invP)
+    f0 = learning.MStepObservationCost(vecCd + 0.1, xdim, ydim, train, res)
+    np.testing.assert_allclose(f - f0, 0.5 * 0.1**2 * len(vecCd), rtol=1e-9)
+    err = sopt.check_grad(
+        learning.MStepObservationCostWithPrior, learning.MStepObservationCostWithPrior_grad,
+        vecCd + 0.05, init, xdim, ydim, train, res, invP)
+    g_norm = np.linalg.norm(learning.MStepObservationCostWithPrior_grad(
+        vecCd + 0.05, init, xdim, ydim, train, res, invP))
+    assert err / max(g_norm, 1.0) < 1e-5
+    vecC = np.asarray(init["C"], float).reshape(-1)
+    err = sopt.check_grad(
+        learning.MStep_C_costWithPrior, learning.MStep_C_costWithPrior_grad,
+        vecC + 0.05, init, xdim, ydim, train, res, -np.eye(len(vecC)))
+    g_norm = np.linalg.norm(learning.MStep_C_costWithPrior_grad(
+        vecC + 0.05, init, xdim, ydim, train, res, -np.eye(len(vecC))))
+    assert err / max(g_norm, 1.0) < 1e-5
+    f_tau = learning.MStepGPtimescaleCostWithPrior(p0, pre[0], 0.001, train.binSize, 0.2, 1.0)
+    assert np.isfinite(f_tau)
+
+
+def test_online_driver_shims(setup):
+    """updateParamsWithPrior / updateParamsWithGradDescent through the shims
+    (reference funs/learning.py:833-866, 932-966)."""
+    from pgpfa.compat import inference, learning
+
+    train, init = setup
+    res, pll, _ = inference.laplace(train, init)
+
+    for joint in (True, False):
+        new_p, det, P = learning.updateParamsWithPrior(
+            init, res, train, regularizer_stepsize_Cd=1.0,
+            regularizer_stepsize_tau=1.0, covOpts="useDiag",
+            updateCdJointly=joint)
+        assert new_p["C"].shape == init["C"].shape and np.isfinite(det["Cd"])
+        assert P.shape[0] == P.shape[1]
+
+    prev = np.eye(2 * 10 + 10)
+    new_p, det, P = learning.updateParamsWithPrior(
+        init, res, train, prevInvPriorCov=prev, covOpts="useHessian")
+    assert np.all(np.linalg.eigvalsh(P) > 0)  # accumulated curvature is PD
+
+    for joint in (True, False):
+        new_p, det, H = learning.updateParamsWithGradDescent(
+            init, res, train, stepSize=0.5, updateCdJointly=joint)
+        assert np.isfinite(new_p["C"]).all() and np.isfinite(H).all()
+        # a damped Newton step from the old params must reduce the cost
+        from pgpfa.compat.util import CdtoVecCd
+        if joint:
+            c_new = learning.MStepObservationCost(
+                CdtoVecCd(new_p["C"], new_p["d"]), 2, 10, train, res)
+            c_old = learning.MStepObservationCost(
+                CdtoVecCd(init["C"], init["d"]), 2, 10, train, res)
+            assert c_new < c_old

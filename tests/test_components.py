@@ -169,3 +169,90 @@ def test_plotting_smoke(small):
     import matplotlib.pyplot as plt
 
     plt.close("all")
+
+
+def test_crcns_loader(tmp_path):
+    """Spike-time-table loader on a schema-faithful pandas pickle
+    (reference funs/util.py:74-110)."""
+    import pandas as pd
+
+    from pgpfa.data.loaders import load_crcns_data
+
+    # 3 units; spikes placed at bin centers so the histogram is unambiguous.
+    bin_s = 0.02  # 20 ms
+    total_bins = 100  # 2 s -> 2 pseudo-trials of 1000 ms / 20 ms = 50 bins
+    rng = np.random.default_rng(5)
+    rows = []
+    expected = np.zeros((3, total_bins))
+    for u in range(3):
+        for b in range(total_bins):
+            k = rng.poisson(0.8)
+            expected[u, b] = k
+            rows += [{"unit": u, "time": (b + 0.5) * bin_s}] * k
+    # np.histogram infers the range PER UNIT from that unit's min/max times
+    # (reference funs/util.py:97-98 semantics) — anchor every unit's range to
+    # the full recording so the bin grids align with `expected`.
+    for u in range(3):
+        rows += [{"unit": u, "time": 0.0}, {"unit": u, "time": total_bins * bin_s}]
+        expected[u, 0] += 1
+        expected[u, -1] += 1
+    table = pd.DataFrame(rows)
+    path = os.path.join(tmp_path, "crcns.pkl")
+    table.to_pickle(path)
+
+    ds = load_crcns_data(path, trialDur=1000, binSize=20)
+    assert ds.ydim == 3 and ds.T == 50 and ds.numTrials == 2
+    assert ds.Y.shape == (2, 3, 50)
+    got = np.concatenate([ds.data[r]["Y"] for r in range(2)], axis=1)
+    np.testing.assert_allclose(got, expected)
+
+
+def test_gpfa_cv_comparison_loader(tmp_path):
+    """data/dat.mat-schema loader (reference funs/util.py:130-153): 1 x R
+    struct array `dat` with object field `spikes`, ms-resolution rasters."""
+    import scipy.io as sio
+
+    from pgpfa.data.loaders import loadDataForGPFA_CV_comparison
+
+    rng = np.random.default_rng(6)
+    R, ydim, dur = 4, 6, 401  # reference drops the last column: trialDur=400
+    rec = np.zeros((1, R), dtype=[("spikes", "O")])
+    rasters = []
+    for i in range(R):
+        r = rng.poisson(0.02, size=(ydim, dur))
+        rasters.append(r)
+        rec[0, i]["spikes"] = r
+    path = os.path.join(tmp_path, "dat.mat")
+    sio.savemat(path, {"dat": rec})
+
+    ds = loadDataForGPFA_CV_comparison(path, binSize=20)
+    assert ds.ydim == ydim and ds.trialDur == 400 and ds.T == 20
+    assert ds.Y.shape == (R, ydim, 20)
+    # binning parity: sum of adjacent 20-ms columns
+    exp0 = rasters[0][:, :400].reshape(ydim, 20, 20).sum(axis=2)
+    np.testing.assert_allclose(ds.data[0]["Y"], exp0)
+    assert np.isfinite(ds.avgFR).all() and ds.avgFR.shape == (ydim,)
+
+
+def test_high_data_loader(tmp_path):
+    """data/ex1_spikecounts.mat-schema loader (reference funs/util.py:155-178)."""
+    import scipy.io as sio
+
+    from pgpfa.data.loaders import loadDataHighData
+
+    rng = np.random.default_rng(7)
+    R, ydim, dur = 3, 5, 200
+    rec = np.zeros((1, R), dtype=[("data", "O")])
+    rasters = []
+    for i in range(R):
+        r = rng.poisson(0.05, size=(ydim, dur))
+        rasters.append(r)
+        rec[0, i]["data"] = r
+    path = os.path.join(tmp_path, "ex1_spikecounts.mat")
+    sio.savemat(path, {"D": rec})
+
+    ds = loadDataHighData(path, binSize=10)
+    assert ds.ydim == ydim and ds.T == 20 and ds.numTrials == R
+    exp1 = rasters[1].reshape(ydim, 20, 10).sum(axis=2)
+    np.testing.assert_allclose(ds.data[1]["Y"], exp1)
+    assert ds.raster.shape == (ydim, 20 * R)
