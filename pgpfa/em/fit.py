@@ -409,8 +409,12 @@ def fit_loop(
     the preferred path elsewhere.
 
     Checkpoint/resume (SURVEY.md §5): with ``checkpoint_path`` the loop writes
-    ``(params, warm-start modes, em_iter)`` every ``checkpoint_every``
-    iterations; ``resume_from`` restarts a batch fit mid-run from such a file.
+    the FULL resumable state every ``checkpoint_every`` iterations — params,
+    warm-start modes, EM iteration, the online prior precision ``P`` and
+    cumulative curvature, the minibatch RNG key, and the recorded per-
+    iteration history — and ``resume_from`` restarts a batch OR online fit
+    mid-run such that the resumed run's :class:`FitResult` matches the
+    uninterrupted one exactly (tested).
     """
     cfg = config or FitConfig()
     p = init_params if isinstance(init_params, Params) else Params.from_dict(init_params)
@@ -423,6 +427,10 @@ def fit_loop(
     C, d, tau = p.C, p.d, p.tau
     warm = None
     start_iter = 0
+    P = _init_prior(cfg, xdim, ydim, p.C.dtype)
+    cumH = P
+    seq = []
+    _HIST_KEYS = ("C", "d", "tau", "pll", "vlb", "cdc", "tc")
     if resume_from is not None:
         from pgpfa.utils.io import load_checkpoint
 
@@ -433,9 +441,19 @@ def fit_loop(
         if state["warm"] is not None:
             warm = jnp.asarray(state["warm"], dtype=C.dtype)
         start_iter = state["em_iter"]
-    P = _init_prior(cfg, xdim, ydim, C.dtype)
-    cumH = P
-    seq = []
+        extra = state["extra"]
+        # full online state: prior precision, cumulative curvature, RNG
+        # stream, and the recorded history (so the resumed FitResult equals
+        # the uninterrupted run's)
+        if "P" in extra:
+            P = jnp.asarray(extra["P"], dtype=C.dtype)
+        if "cumH" in extra:
+            cumH = jnp.asarray(extra["cumH"], dtype=C.dtype)
+        if state["rng_key"] is not None:
+            key = jnp.asarray(state["rng_key"])
+        if "hist_pll" in extra:
+            hists = [extra["hist_" + k] for k in _HIST_KEYS]
+            seq = [tuple(jnp.asarray(h[i]) for h in hists) for i in range(start_iter)]
     for n in range(start_iter, cfg.max_em_iter):
         if cfg.em_mode == BATCH:
             Yb = Y
@@ -462,11 +480,16 @@ def fit_loop(
         if checkpoint_path is not None and (n + 1) % checkpoint_every == 0:
             from pgpfa.utils.io import save_checkpoint
 
+            extra = {"P": np.asarray(P), "cumH": np.asarray(cumH)}
+            for i, k in enumerate(_HIST_KEYS):
+                extra["hist_" + k] = np.stack([np.asarray(s[i]) for s in seq])
             save_checkpoint(
                 checkpoint_path,
                 {"C": np.asarray(C), "d": np.asarray(d), "tau": np.asarray(tau)},
                 em_iter=n + 1,
                 warm=None if warm is None else np.asarray(warm),
+                rng_key=np.asarray(key),
+                extra=extra,
             )
 
     stack = lambda i: jnp.stack([s[i] for s in seq])

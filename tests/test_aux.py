@@ -35,8 +35,10 @@ def test_checkpoint_resume_mid_fit(tmp_path, setup):
     resumed = fit_loop(init, train.Y, 20.0, cfg, resume_from=ck)
     np.testing.assert_allclose(np.asarray(resumed.C), np.asarray(full.C), atol=1e-8)
     np.testing.assert_allclose(np.asarray(resumed.tau), np.asarray(full.tau), atol=1e-9)
+    # the checkpoint carries the recorded history, so the resumed FitResult
+    # covers ALL iterations, pre- and post-resume
     np.testing.assert_allclose(
-        np.asarray(resumed.post_loglik), np.asarray(full.post_loglik)[3:], atol=1e-7
+        np.asarray(resumed.post_loglik), np.asarray(full.post_loglik), atol=1e-7
     )
 
 
@@ -101,3 +103,28 @@ def test_update_d_closed_form(setup):
     implied = np.asarray(jnp.mean(jnp.exp(hh + 0.5 * quad), axis=(0, 2)) * jnp.exp(d_new))
     empirical = train.Y.mean(axis=(0, 2)) + 1e-5
     np.testing.assert_allclose(implied, empirical, rtol=1e-10)
+
+
+@pytest.mark.parametrize("rule", ["diag", "hess", "grad"])
+def test_online_checkpoint_resume_exact(tmp_path, setup, rule):
+    """An ONLINE fit resumed from a mid-run checkpoint reproduces the
+    uninterrupted run exactly: the checkpoint carries the prior precision P,
+    cumulative curvature, minibatch RNG stream and recorded history
+    (VERDICT round-1 gap: these used to silently reset)."""
+    train, init = setup
+    cfg = FitConfig(em_mode="online", online_update=rule, batch_size=3,
+                    max_em_iter=6)
+    full = fit_loop(init, train.Y, 20.0, cfg, seed=3)
+
+    ck = os.path.join(tmp_path, f"online_{rule}.npz")
+    fit_loop(init, train.Y, 20.0,
+             FitConfig(em_mode="online", online_update=rule, batch_size=3,
+                       max_em_iter=3),
+             seed=3, checkpoint_path=ck, checkpoint_every=3)
+    resumed = fit_loop(init, train.Y, 20.0, cfg, seed=3, resume_from=ck)
+
+    np.testing.assert_array_equal(np.asarray(resumed.post_loglik),
+                                  np.asarray(full.post_loglik))
+    np.testing.assert_array_equal(np.asarray(resumed.C_seq), np.asarray(full.C_seq))
+    np.testing.assert_array_equal(np.asarray(resumed.tau_seq), np.asarray(full.tau_seq))
+    np.testing.assert_array_equal(np.asarray(resumed.C), np.asarray(full.C))
