@@ -1,20 +1,31 @@
 """Benchmark: full batch Laplace-EM throughput on the Stevenson-shaped workload.
 
 Prints ONE JSON line:
-    {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+    {"metric": ..., "value": N, "unit": ..., "vs_baseline": N,
+     "parity_traj_maxabs": ..., "mfu_pct": ...}
 
-* value        — steady-state EM iterations/second of the fused ``lax.scan``
-                 fit on the default device (TPU when available), f64.
+* value        — steady-state EM iterations/second of the host-loop fit on
+                 the default device (TPU when available), f64.
 * vs_baseline  — speedup of seconds/EM-iteration vs the ORIGINAL reference
                  implementation (/root/reference, NumPy/SciPy, single CPU
-                 process) on the same data and init. The reference timing is
-                 measured once by scripts/measure_reference_baseline.py and
-                 cached in BASELINE_MEASURED.json (re-measure with
-                 --measure-baseline).
+                 process) on the same data and init. Reference timings are
+                 measured by scripts/measure_all_baselines.py and cached in
+                 BASELINE_MEASURED*.json (re-measure with --measure-baseline).
+* parity_traj_maxabs — max |nPLL difference| vs the actual reference code over
+                 ALL reference-measured EM iterations (not just the first).
+* mfu_pct      — XLA-counted FLOPs per EM iteration / measured time / TPU v5e
+                 bf16 peak (197 TFLOP/s). The fit runs f64-refined mixed
+                 precision, so this is a conservative utilization figure.
 
 Workload (BASELINE.json config #4 stand-in): Stevenson-2011-shaped surrogate —
 ydim=90, T=140 (1400 ms / 10 ms bins), 100 trials, xdim=5 fit with timescale
 learning. The real .mat blob is stripped from the mounted reference.
+
+`--all-configs` also times (stderr, one JSON line each): synthetic Laplace EM,
+online 'diag' EM, variational EM (vs the measured reference VI baseline, with
+first-iteration VLB parity), MCMC sampling throughput (vs reference ESS), and
+the CV latent-dim sweep (vs reference crossValidation). `--f32` additionally
+reports the f32 fast mode on the headline workload.
 """
 
 import json
@@ -30,12 +41,10 @@ CACHE = os.path.join(REPO, "BASELINE_MEASURED.json")
 XDIM = 5
 SEED = 2011
 BENCH_ITERS = 10
-BASELINE_ITERS = 2
+V5E_BF16_PEAK = 197e12
 
 
 def build_problem():
-    import numpy as np
-
     from pgpfa.data.init import initialize_params
     from pgpfa.data.surrogate import stevenson_surrogate
 
@@ -44,47 +53,32 @@ def build_problem():
     return ds, init
 
 
-def measure_baseline(ds, init, n_iters=BASELINE_ITERS):
-    import numpy as np
-    import tempfile
+def _load(name):
+    path = os.path.join(REPO, name)
+    if not os.path.exists(path):
+        return None
+    with open(path) as f:
+        return json.load(f)
 
-    with tempfile.NamedTemporaryFile(suffix=".npz", delete=False) as f:
-        np.savez(
-            f.name,
-            Y=ds.Y,
-            C0=init["C"],
-            d0=init["d"],
-            tau0=init["tau"],
-            trialDur=ds.trialDur,
-            binSize=ds.binSize,
-        )
-        path = f.name
+
+def measure_baseline():
     out = subprocess.run(
-        [sys.executable, os.path.join(REPO, "scripts/measure_reference_baseline.py"), path, str(n_iters)],
-        capture_output=True,
-        text=True,
+        [sys.executable, os.path.join(REPO, "scripts/measure_all_baselines.py"), "4"],
         timeout=24 * 3600,
     )
-    os.unlink(path)
     if out.returncode != 0:
-        print(out.stdout, file=sys.stderr)
-        print(out.stderr, file=sys.stderr)
         raise RuntimeError("reference baseline measurement failed")
-    result = json.loads(out.stdout.strip().splitlines()[-1])
-    with open(CACHE, "w") as f:
-        json.dump(result, f, indent=1)
-    return result
+    return _load("BASELINE_MEASURED.json")
 
 
 def main():
     ds, init = build_problem()
 
     if "--measure-baseline" in sys.argv or not os.path.exists(CACHE):
-        print("measuring reference baseline (original scipy code)...", file=sys.stderr)
-        baseline = measure_baseline(ds, init)
+        print("measuring reference baselines (original scipy code)...", file=sys.stderr)
+        baseline = measure_baseline()
     else:
-        with open(CACHE) as f:
-            baseline = json.load(f)
+        baseline = _load("BASELINE_MEASURED.json")
 
     import jax
     import numpy as np
@@ -101,24 +95,35 @@ def main():
 
     t0 = time.time()
     res = fit_loop(init, ds.Y, ds.binSize, cfg)
-    res.post_loglik.block_until_ready()
+    float(np.asarray(res.post_loglik)[-1])  # scalar readback: sync through the tunnel
     steady = time.time() - t0
 
     iters_per_sec = BENCH_ITERS / steady
     sec_per_iter = steady / BENCH_ITERS
     speedup = baseline["sec_per_iter"] / sec_per_iter
 
-    # first-iteration parity sanity (same data + init as the reference run)
-    parity = None
-    if baseline.get("post_loglik"):
-        parity = abs(float(np.asarray(res.post_loglik)[0]) - baseline["post_loglik"][0])
+    # multi-iteration trajectory parity vs the actual reference code
+    ref_pll = np.asarray(baseline.get("post_loglik", []))
+    ours = np.asarray(res.post_loglik)[: len(ref_pll)]
+    parity = float(np.max(np.abs(ours - ref_pll))) if len(ref_pll) else None
+
+    # MFU from XLA's flop count of the compiled phase programs
+    mfu_pct = None
+    flops = _phase_flops(ds, init, cfg)
+    if flops:
+        mfu_pct = round(100.0 * flops / sec_per_iter / V5E_BF16_PEAK, 3)
+        print(f"flops/EM-iter (XLA-counted): {flops:.3e}; MFU vs v5e bf16 peak: {mfu_pct}%",
+              file=sys.stderr)
+
     print(
         f"compile+first run: {compile_and_run:.1f}s; steady: {sec_per_iter:.3f}s/iter; "
         f"reference: {baseline['sec_per_iter']:.1f}s/iter; "
-        f"first-iter nPLL abs diff vs reference: {parity}",
+        f"nPLL trajectory max abs diff vs reference over {len(ref_pll)} iters: {parity}",
         file=sys.stderr,
     )
 
+    if "--f32" in sys.argv:
+        f32_line(file=sys.stderr)
     if "--all-configs" in sys.argv:
         secondary_configs(file=sys.stderr)
 
@@ -129,15 +134,85 @@ def main():
                 "value": round(iters_per_sec, 4),
                 "unit": "EM iters/sec",
                 "vs_baseline": round(speedup, 2),
+                "parity_traj_maxabs": parity,
+                "mfu_pct": mfu_pct,
             }
         )
     )
 
 
+def _phase_flops(ds, init, cfg):
+    """Sum XLA-counted FLOPs of the jitted E-step + M-step programs."""
+    import jax.numpy as jnp
+
+    from pgpfa.em.fit import _phase_programs
+    from pgpfa.models.params import Params
+
+    import jax
+
+    from pgpfa.learn.mstep_gp import learn_tau
+    from pgpfa.learn.mstep_obs import learn_cd
+
+    p = Params.from_dict(init)
+    Y = jnp.asarray(ds.Y, dtype=p.C.dtype)
+    R, ydim, T = Y.shape
+    estep, _, _ = _phase_programs(T, float(ds.binSize), cfg)
+    warm = jnp.zeros((R, p.C.shape[1], T), dtype=p.C.dtype)
+
+    def cost(fn, *args):
+        try:
+            an = fn.lower(*args).compile().cost_analysis()
+            if isinstance(an, (list, tuple)):
+                an = an[0]
+            return float(an.get("flops", 0.0))
+        except Exception as e:  # noqa: BLE001
+            print(f"cost_analysis unavailable: {e}", file=sys.stderr)
+            return 0.0
+
+    total = cost(estep, p.C, p.d, p.tau, Y, warm)
+    inf, _, _, _ = estep(p.C, p.d, p.tau, Y, warm)
+    # the M-step phase programs are jitted lambdas inside _phase_programs;
+    # cost equivalent jitted calls
+    cd_fn = jax.jit(lambda C, d, Yb, means, vsm: learn_cd(
+        Yb, means, vsm, C, d, maxiter=cfg.cd_maxiter, tol=cfg.cd_tol))
+    tau_fn = jax.jit(lambda tau, means, vsm_gp: learn_tau(
+        means, vsm_gp, tau, float(ds.binSize), eps=cfg.eps_noise, maxiter=cfg.tau_maxiter))
+    total += cost(cd_fn, p.C, p.d, Y, inf.post_mean, inf.post_vsm)
+    total += cost(tau_fn, p.tau, inf.post_mean, inf.post_vsm_gp)
+    return total
+
+
+def f32_line(file=sys.stderr):
+    """Time the f32 fast mode on the headline workload (subprocess: x64 is a
+    process-global flag)."""
+    script = (
+        "import os, json, time, sys\n"
+        "os.environ['PGPFA_X64'] = '0'\n"
+        f"sys.path.insert(0, {REPO!r})\n"
+        "import numpy as np\n"
+        "from bench import build_problem, BENCH_ITERS\n"
+        "from pgpfa.em.fit import FitConfig, fit_loop\n"
+        "ds, init = build_problem()\n"
+        "cfg = FitConfig(max_em_iter=BENCH_ITERS)\n"
+        "res = fit_loop(init, ds.Y, ds.binSize, cfg)\n"
+        "float(np.asarray(res.post_loglik)[-1])\n"
+        "t0 = time.time()\n"
+        "res = fit_loop(init, ds.Y, ds.binSize, cfg)\n"
+        "float(np.asarray(res.post_loglik)[-1])\n"
+        "dt = time.time() - t0\n"
+        "print(json.dumps({'metric': 'batch Laplace-EM f32 fast mode (same workload)',\n"
+        "                  'value': round(BENCH_ITERS / dt, 4), 'unit': 'EM iters/sec',\n"
+        "                  'final_pll': float(np.asarray(res.post_loglik)[-1])}))\n"
+    )
+    out = subprocess.run([sys.executable, "-c", script], capture_output=True, text=True)
+    line = out.stdout.strip().splitlines()[-1] if out.stdout.strip() else json.dumps(
+        {"metric": "f32 fast mode", "error": out.stderr[-200:]})
+    print(line, file=file)
+
+
 def secondary_configs(file=sys.stderr, iters: int = 10):
     """Time the remaining BASELINE.json workload configs (secondary metrics,
-    stderr): example.py-style synthetic Laplace EM, variational EM on the same
-    data, and stochastic/online EM ('diag') on the Stevenson-shaped data."""
+    stderr), each against its measured reference baseline where one exists."""
     import numpy as np
 
     import pgpfa
@@ -148,19 +223,18 @@ def secondary_configs(file=sys.stderr, iters: int = 10):
                           seed=123, backend="numpy")
     init_s = pgpfa.initializeParams(2, 20, synth, seed=0)
     ds, init = build_problem()
+    vi_base = _load("BASELINE_MEASURED_VI.json")
 
     jobs = [
         ("synthetic Laplace-EM (example.py config)", synth, init_s,
-         FitConfig(max_em_iter=iters)),
+         FitConfig(max_em_iter=iters), None),
         ("Stevenson-shaped online-EM 'diag' (batch 10)", ds, init,
          FitConfig(em_mode="online", online_update="diag", batch_size=10,
-                   max_em_iter=iters)),
-        # VI maps trials sequentially (lax.map) — the vmapped while_loop
-        # form crashed this TPU's worker; see pgpfa/infer/variational.py.
-        ("synthetic variational-EM", synth, init_s,
-         FitConfig(inference_method="variational", max_em_iter=iters)),
+                   max_em_iter=iters), None),
+        ("synthetic variational-EM (vmapped branchless dual L-BFGS)", synth, init_s,
+         FitConfig(inference_method="variational", max_em_iter=iters), vi_base),
     ]
-    for name, data, ip, cfg in jobs:
+    for name, data, ip, cfg, base in jobs:
         try:
             res = fit_loop(ip, data.Y, data.binSize, cfg)  # compile
             float(np.asarray(res.post_loglik)[-1])
@@ -168,15 +242,60 @@ def secondary_configs(file=sys.stderr, iters: int = 10):
             res = fit_loop(ip, data.Y, data.binSize, cfg)
             float(np.asarray(res.post_loglik)[-1])
             dt = time.time() - t0
-            print(
-                json.dumps({"metric": name, "value": round(iters / dt, 4),
-                            "unit": "EM iters/sec"}),
-                file=file,
-            )
+            rec = {"metric": name, "value": round(iters / dt, 4), "unit": "EM iters/sec"}
+            if base is not None:
+                rec["vs_baseline"] = round(base["sec_per_iter"] / (dt / iters), 2)
+                vlb = np.asarray(res.var_lower_bound)
+                ref_vlb = np.asarray(base.get("var_lower_bound", []))
+                if len(ref_vlb):
+                    rec["first_iter_vlb_absdiff_vs_reference"] = float(
+                        abs(vlb[0] - ref_vlb[0]))
+            print(json.dumps(rec), file=file)
         except Exception as e:  # noqa: BLE001 — report and continue
-            print(
-                json.dumps({"metric": name, "error": str(e)[:200]}), file=file
-            )
+            print(json.dumps({"metric": name, "error": str(e)[:200]}), file=file)
+
+    # MCMC sampling throughput vs the reference's elliptical slice sampler
+    mcmc_base = _load("BASELINE_MEASURED_MCMC.json")
+    try:
+        import jax.numpy as jnp
+
+        n_samp = 500
+        args = (jnp.asarray(init_s["C"]), jnp.asarray(np.ravel(init_s["d"])),
+                jnp.asarray(np.ravel(init_s["tau"])), jnp.asarray(synth.Y[0], dtype=jnp.float64),
+                synth.T, float(synth.binSize))
+        from pgpfa.infer.mcmc import posterior_mcmc_from_arrays
+
+        r = posterior_mcmc_from_arrays(*args, n_samples=n_samp)  # compile
+        float(np.asarray(r.samples)[-1, 0, 0])
+        t0 = time.time()
+        r = posterior_mcmc_from_arrays(*args, n_samples=n_samp)
+        float(np.asarray(r.samples)[-1, 0, 0])
+        dt = time.time() - t0
+        rec = {"metric": "MCMC elliptical-slice sampling (1 trial, synthetic)",
+               "value": round(n_samp / dt, 1), "unit": "samples/sec"}
+        if mcmc_base:
+            rec["vs_baseline"] = round((n_samp / dt) / mcmc_base["samples_per_sec"], 2)
+        print(json.dumps(rec), file=file)
+    except Exception as e:  # noqa: BLE001
+        print(json.dumps({"metric": "MCMC sampling", "error": str(e)[:200]}), file=file)
+
+    # CV latent-dim sweep vs the reference crossValidation
+    cv_base = _load("BASELINE_MEASURED_CV.json")
+    try:
+        import pgpfa as _p
+
+        t0 = time.time()
+        cv = _p.crossValidation(synth, numTrainingTrials=3, numTestTrials=2,
+                                maxXdim=3, maxEMiter=3)
+        dt = time.time() - t0
+        rec = {"metric": "CV latent-dim sweep (maxXdim=3, 3 EM iters, synthetic)",
+               "value": round(dt, 2), "unit": "sec total",
+               "optim_xdim": int(cv.optimXdim)}
+        if cv_base:
+            rec["vs_baseline"] = round(cv_base["total_sec"] / dt, 2)
+        print(json.dumps(rec), file=file)
+    except Exception as e:  # noqa: BLE001
+        print(json.dumps({"metric": "CV sweep", "error": str(e)[:200]}), file=file)
 
 
 if __name__ == "__main__":

@@ -82,6 +82,11 @@ class FitConfig:
     vi_maxiter: int = 150  # fixed L-BFGS scan length (branchless dual solve)
     vi_gtol: float = 1e-8
     eps_noise: float = 0.001
+    # long-trial (banded / block-tridiagonal) E-step: time-block size in bins,
+    # or None for the dense path. Must divide T and satisfy
+    # time_block * bin >~ 6 * max(tau) (pgpfa/infer/laplace_longt.py).
+    time_block: Optional[int] = None
+    banded_newton_iters: int = 12
 
     def __post_init__(self):
         if self.inference_method not in ("laplace", "variational"):
@@ -90,6 +95,8 @@ class FitConfig:
             raise ValueError(f"unknown em_mode {self.em_mode!r}")
         if self.online_update not in ONLINE_UPDATE_METHODS:
             raise ValueError(f"unknown online_update {self.online_update!r}")
+        if self.time_block is not None and self.inference_method != "laplace":
+            raise ValueError("time_block (banded long-T path) requires laplace inference")
 
 
 class FitResult(NamedTuple):
@@ -115,6 +122,15 @@ class FitResult(NamedTuple):
 def _estep(C, d, tau, Y, T, bin_size_ms, warm, cfg: FitConfig, compute_cov: bool = False):
     """Dispatch on inference method. Returns (inf, pll, vlb, warm_new)."""
     if cfg.inference_method == "laplace":
+        if cfg.time_block is not None:
+            from pgpfa.infer.laplace_longt import laplace_estep_banded
+
+            inf, pll = laplace_estep_banded(
+                C, d, tau, Y, T, bin_size_ms, cfg.time_block,
+                x_init=warm, maxiter=cfg.banded_newton_iters,
+                eps_noise=cfg.eps_noise,
+            )
+            return inf, pll, jnp.zeros_like(pll), inf.post_mean
         inf, pll = laplace_estep_from_arrays(
             C, d, tau, Y, T, bin_size_ms,
             x_init=warm, gtol=cfg.newton_gtol, maxiter=cfg.newton_maxiter,
@@ -129,12 +145,24 @@ def _estep(C, d, tau, Y, T, bin_size_ms, warm, cfg: FitConfig, compute_cov: bool
     return inf, pll, vlb, rho
 
 
+def _learn_tau_from_inf(inf, tau, bin_size_ms, cfg: FitConfig, prior=None):
+    """Tau M-step from either dense or banded posterior moments."""
+    from pgpfa.infer.laplace_longt import BandedInfRes, pauto_sum_banded
+
+    kw = dict(prior=prior, eps=cfg.eps_noise, maxiter=cfg.tau_maxiter)
+    if isinstance(inf, BandedInfRes):
+        return learn_tau(
+            inf.post_mean, None, tau, bin_size_ms,
+            num_trials=inf.post_mean.shape[0], precomp=pauto_sum_banded(inf), **kw,
+        )
+    return learn_tau(inf.post_mean, inf.post_vsm_gp, tau, bin_size_ms, **kw)
+
+
 def _mstep_full(C, d, tau, Y, inf: InfRes, bin_size_ms, cfg: FitConfig):
     """Unregularized M-step (batch EM; reference ``funs/learning.py:295-309``)."""
     cd = learn_cd(Y, inf.post_mean, inf.post_vsm, C, d,
                   maxiter=cfg.cd_newton_iters, tol=cfg.cd_tol)
-    tr = learn_tau(inf.post_mean, inf.post_vsm_gp, tau, bin_size_ms,
-                   eps=cfg.eps_noise, maxiter=cfg.tau_maxiter)
+    tr = _learn_tau_from_inf(inf, tau, bin_size_ms, cfg)
     return cd, tr
 
 
@@ -164,10 +192,7 @@ def _online_mstep(n, C, d, tau, Yb, inf: InfRes, bin_size_ms, cfg: FitConfig, P,
         return newC, newd, newtau, P, cumH, cd.cost, tr.cost, tr.tau
 
     # proximal / Newton methods ('hess' | 'diag' | 'grad')
-    tr = learn_tau(
-        inf.post_mean, inf.post_vsm_gp, tau, bin_size_ms,
-        prior=(tau, stepsize), eps=cfg.eps_noise, maxiter=cfg.tau_maxiter,
-    )
+    tr = _learn_tau_from_inf(inf, tau, bin_size_ms, cfg, prior=(tau, stepsize))
 
     if cfg.update_cd_jointly:
         # per-neuron block form: the exact joint Hessian of the (C, d) cost is
@@ -366,10 +391,7 @@ def _phase_programs(T: int, bin_size_ms: float, cfg: FitConfig):
         )
     )
     mstep_tau = jax.jit(
-        lambda tau, inf: learn_tau(
-            inf.post_mean, inf.post_vsm_gp, tau, bin_size_ms,
-            eps=cfg.eps_noise, maxiter=cfg.tau_maxiter,
-        )
+        lambda tau, inf: _learn_tau_from_inf(inf, tau, bin_size_ms, cfg)
     )
 
     def mstep_batch(C, d, tau, Yb, inf):

@@ -93,8 +93,10 @@ def _newton_solve(Y, X0, C, d, Kinv, weights, gtol, maxiter, max_backtracks=30):
         return G, H
 
     def body(carry):
-        X, f, it, done = carry
-        G, H = grad_hess(X)
+        # (G, H) ride in the carry so grad_hess runs ONCE per iteration (it
+        # used to be evaluated both at the loop top and for the convergence
+        # check at the bottom).
+        X, f, G, H, it, done = carry
         # f32 factorization + f64 iterative refinement: f64 triangular solves
         # are pathologically slow on TPU (see pgpfa/ops/blockmat.py).
         dX = solve_psd_mixed(H, G.reshape(D), L32=chol32(H)).reshape(xdim, T)
@@ -117,22 +119,26 @@ def _newton_solve(Y, X0, C, d, Kinv, weights, gtol, maxiter, max_backtracks=30):
         accept = jnp.isfinite(f_try) & (f_try <= f + slack) & ~converged
         X_new = jnp.where(accept, X - t * dX, X)
         f_new = jnp.where(accept, jnp.minimum(f_try, f), f)
-        G_new, _ = grad_hess(X_new)
+        G_new, H_new = grad_hess(X_new)
         done_new = converged | (jnp.max(jnp.abs(G_new)) <= gtol) | ~accept
         # Freeze lanes that converged in an earlier iteration (vmapped
         # while_loop keeps executing the body for every lane until all stop).
         X_out = jnp.where(done, X, X_new)
         f_out = jnp.where(done, f, f_new)
+        G_out = jnp.where(done, G, G_new)
+        H_out = jnp.where(done, H, H_new)
         it_out = jnp.where(done, it, it + 1)
-        return X_out, f_out, it_out, done | done_new
+        return X_out, f_out, G_out, H_out, it_out, done | done_new
 
     def cond(carry):
-        _, _, it, done = carry
+        _, _, _, _, it, done = carry
         return (it < maxiter) & ~done
 
-    G0, _ = grad_hess(X0)
+    G0, H0 = grad_hess(X0)
     done0 = jnp.max(jnp.abs(G0)) <= gtol
-    X, f, it, _ = jax.lax.while_loop(cond, body, (X0, objective(X0), jnp.asarray(0), done0))
+    X, f, _, _, it, _ = jax.lax.while_loop(
+        cond, body, (X0, objective(X0), G0, H0, jnp.asarray(0), done0)
+    )
     return X, f, it
 
 

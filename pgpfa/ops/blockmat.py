@@ -122,20 +122,43 @@ def _logdet_series(A):
     return -(tr1 + tr2 / 2.0 + tr3 / 3.0 + tr4 / 4.0)
 
 
-@jax.custom_jvp
-def _logdet_psd_mixed(H):
-    import jax.scipy.linalg as jsl
+def inv_logdet_psd_mixed(H, ns_steps: int = 3, f64_steps: int = 1):
+    """``(H^{-1}, logdet H)`` sharing one f32 Cholesky factorization.
 
-    D = H.shape[-1]
-    hi = jax.lax.Precision.HIGHEST
-    mm = lambda a, b: jnp.matmul(a, b, precision=hi)
-    eye = jnp.eye(D, dtype=H.dtype)
+    Scan-friendly combination used by the block-tridiagonal solvers
+    (``pgpfa/ops/blocktridiag.py``), where both the Schur-complement inverse
+    and its log-determinant are needed per block.
+    """
     s = 1.0 / jnp.sqrt(jnp.diagonal(H))
     Hs = H * (s[:, None] * s[None, :])
     L32 = chol32(Hs)
+    ld = _logdet_equilibrated(Hs, L32, s, H.dtype)
+    # H^{-1} = D_s Hs^{-1} D_s; equilibration also tightens the Newton-Schulz
+    # convergence, so the shared factor is strictly better than refactoring H.
+    inv_s = inv_psd_mixed(Hs, L32=L32, ns_steps=ns_steps, f64_steps=f64_steps)
+    return inv_s * (s[:, None] * s[None, :]), ld
+
+
+@jax.custom_jvp
+def _logdet_psd_mixed(H):
+    s = 1.0 / jnp.sqrt(jnp.diagonal(H))
+    Hs = H * (s[:, None] * s[None, :])
+    L32 = chol32(Hs)
+    return _logdet_equilibrated(Hs, L32, s, H.dtype)
+
+
+def _logdet_equilibrated(Hs, L32, s, dtype):
+    """Shared core: logdet of the Jacobi-equilibrated ``Hs`` (factor ``L32``)
+    plus the de-equilibration term ``-2 sum log s``."""
+    import jax.scipy.linalg as jsl
+
+    D = Hs.shape[-1]
+    hi = jax.lax.Precision.HIGHEST
+    mm = lambda a, b: jnp.matmul(a, b, precision=hi)
+    eye = jnp.eye(D, dtype=dtype)
     X32 = jsl.cho_solve((L32, True), jnp.eye(D, dtype=jnp.float32))
-    X = X32.astype(H.dtype)
-    Ld = L32.astype(H.dtype)
+    X = X32.astype(dtype)
+    Ld = L32.astype(dtype)
     # Exact chain: with G = Ld Ld^T (exact f64 product of the f32 factor, so
     # logdet(G) = 2 sum log diag(Ld) exactly) and ANY invertible X,
     #   logdet(Hs) = logdet(I - R) + logdet(G) - logdet(I + E),

@@ -58,9 +58,10 @@ class _Experiment:
 
 def main():
     data_path, n_iters = sys.argv[1], int(sys.argv[2])
+    mode = sys.argv[3] if len(sys.argv) > 3 else "laplace"
     blob = np.load(data_path)
     Y = blob["Y"]
-    init = {"C": blob["C0"], "d": blob["d0"], "tau": blob["tau0"]}
+    init = {"C": blob["C0"], "d": np.ravel(blob["d0"]), "tau": np.ravel(blob["tau0"])}
 
     os.environ.setdefault("MPLBACKEND", "Agg")
     _install_statsmodels_stub()
@@ -70,29 +71,66 @@ def main():
     import funs.engine as engine  # noqa: E402
 
     exp = _Experiment(Y, float(blob["trialDur"]), float(blob["binSize"]))
-    t0 = time.time()
-    fit = engine.PPGPFAfit(
-        experiment=exp,
-        initParams=init,
-        inferenceMethod="laplace",
-        EMmode="Batch",
-        maxEMiter=n_iters,
-    )
-    elapsed = time.time() - t0
+
+    if mode in ("laplace", "variational"):
+        t0 = time.time()
+        fit = engine.PPGPFAfit(
+            experiment=exp,
+            initParams=init,
+            inferenceMethod=mode,
+            EMmode="Batch",
+            maxEMiter=n_iters,
+        )
+        elapsed = time.time() - t0
+        out = {
+            "mode": mode,
+            "sec_per_iter": elapsed / n_iters,
+            "total_sec": elapsed,
+            "n_iters": n_iters,
+            "post_loglik": [float(v) for v in fit.posteriorLikelihood],
+            "shape": list(Y.shape),
+        }
+        if mode == "variational":
+            out["var_lower_bound"] = [float(v) for v in fit.variationalLowerBound]
+    elif mode == "mcmc":
+        import funs.mcmc as mcmc  # noqa: E402
+
+        t0 = time.time()
+        samples = mcmc.PosteriorMCMC(exp, init, n_iters, 0)
+        elapsed = time.time() - t0
+        out = {
+            "mode": mode,
+            "samples_per_sec": n_iters / elapsed,
+            "total_sec": elapsed,
+            "n_samples": n_iters,
+            "sample_mean_norm": float(np.linalg.norm(samples.mean(axis=0))),
+            "shape": list(Y.shape),
+        }
+    elif mode == "cv":
+        import funs.util as util  # noqa: E402
+
+        n_train = max(Y.shape[0] - 2, 2)
+        t0 = time.time()
+        cv = util.crossValidation(
+            exp, numTrainingTrials=n_train, numTestTrials=2,
+            maxXdim=3, maxEMiter=n_iters,
+        )
+        elapsed = time.time() - t0
+        out = {
+            "mode": mode,
+            "total_sec": elapsed,
+            "max_xdim": 3,
+            "n_iters": n_iters,
+            "optim_xdim": int(cv.optimXdim),
+            "errs": [float(e) for e in cv.errs],
+            "shape": list(Y.shape),
+        }
+    else:
+        raise SystemExit(f"unknown mode {mode!r}")
+
     # leading newline: the reference's Printer leaves an unterminated line on
     # stdout, which would otherwise concatenate with the JSON
-    print(
-        "\n"
-        + json.dumps(
-            {
-                "sec_per_iter": elapsed / n_iters,
-                "total_sec": elapsed,
-                "n_iters": n_iters,
-                "post_loglik": [float(v) for v in fit.posteriorLikelihood],
-                "shape": list(Y.shape),
-            }
-        )
-    )
+    print("\n" + json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -1,0 +1,52 @@
+"""The advertised f32 fast mode (``PGPFA_X64=0``) actually fits.
+
+x64 is a process-global jax flag, so the f32 run happens in a subprocess.
+Measured envelope (documented in README): nPLL tracks the f64 trajectory at
+~1e-2 absolute (~2e-5 relative); tau at ~2e-3 s. The 1e-6 oracle-parity
+target requires the default f64 mode.
+"""
+
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+_SCRIPT = r'''
+import os, json
+os.environ["PGPFA_X64"] = "{flag}"
+os.environ["JAX_PLATFORMS"] = "cpu"
+import jax
+jax.config.update("jax_platforms", "cpu")
+import numpy as np
+import pgpfa
+train = pgpfa.dataset(xdim=2, ydim=20, numTrials=5, trialDur=1000, binSize=20,
+                      dOffset=1, fixTau=True, fixedTau=np.linspace(0.1, 0.5, 2),
+                      seed=123, backend="numpy")
+init = pgpfa.initializeParams(2, 20, train, seed=0)
+res = pgpfa.fit_loop(init, train.Y, 20.0, pgpfa.FitConfig(max_em_iter=5))
+print(json.dumps({{"pll": [float(v) for v in np.asarray(res.post_loglik)],
+                   "tau": [float(v) for v in np.asarray(res.tau)],
+                   "dtype": str(res.C.dtype)}}))
+'''
+
+
+def _run(flag):
+    r = subprocess.run([sys.executable, "-c", _SCRIPT.format(flag=flag)],
+                       capture_output=True, text=True, cwd=REPO, timeout=600)
+    assert r.returncode == 0, r.stderr[-2000:]
+    return json.loads(r.stdout.strip().splitlines()[-1])
+
+
+def test_f32_mode_fits_and_tracks_f64():
+    f64 = _run("1")
+    f32 = _run("0")
+    assert f32["dtype"] == "float32"
+    pll32, pll64 = np.asarray(f32["pll"]), np.asarray(f64["pll"])
+    assert np.isfinite(pll32).all()
+    assert np.all(np.diff(pll32) > -1e-3), "f32 EM must improve monotonically"
+    np.testing.assert_allclose(pll32, pll64, rtol=0, atol=2e-2)
+    np.testing.assert_allclose(f32["tau"], f64["tau"], atol=5e-3)

@@ -1,0 +1,116 @@
+"""Long-trial (block-tridiagonal) path: parity vs the dense E-step at
+moderate T, and linear-in-T scaling behavior at T >= 1000."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from pgpfa.em.fit import FitConfig, fit_loop
+from pgpfa.infer.laplace import laplace_estep_from_arrays
+from pgpfa.infer.laplace_longt import laplace_estep_banded, pauto_sum_banded
+from pgpfa.learn.mstep_gp import learn_tau, pauto_sum
+from pgpfa.ops.blocktridiag import btd_truncation_error
+
+
+@pytest.fixture(scope="module")
+def problem():
+    # tau small vs block span: s=16 blocks of 20 ms = 320 ms >> 6 * 40 ms
+    rng = np.random.default_rng(11)
+    xdim, ydim, T, R, bin_ms = 2, 12, 64, 4, 20.0
+    tau = np.array([0.03, 0.04])
+    C = rng.uniform(-0.5, 0.5, (ydim, xdim))
+    d = rng.uniform(-1.0, 0.0, ydim)
+    X = rng.standard_normal((R, xdim, T)) * 0.7
+    Y = rng.poisson(np.exp(np.einsum("nk,rkt->rnt", C, X) + d[None, :, None])).astype(float)
+    return dict(C=C, d=d, tau=tau, Y=Y, T=T, bin_ms=bin_ms, s=16)
+
+
+def test_banded_estep_matches_dense(problem):
+    p = problem
+    assert btd_truncation_error(p["tau"], p["bin_ms"], p["s"]) < 1e-8
+    args = (jnp.asarray(p["C"]), jnp.asarray(p["d"]), jnp.asarray(p["tau"]),
+            jnp.asarray(p["Y"]), p["T"], p["bin_ms"])
+    dense, pll_d = laplace_estep_from_arrays(*args)
+    band, pll_b = laplace_estep_banded(*args, block_size=p["s"])
+
+    np.testing.assert_allclose(float(pll_b), float(pll_d), rtol=0, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(band.post_mean),
+                               np.asarray(dense.post_mean), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(band.post_vsm),
+                               np.asarray(dense.post_vsm), atol=1e-7)
+    # banded temporal covariance blocks match the dense blocks
+    gp_dense = np.asarray(band.vsm_gp_dense())
+    ref = np.asarray(dense.post_vsm_gp)
+    s = p["s"]
+    for i in range(p["T"] // s):
+        sl = slice(i * s, (i + 1) * s)
+        np.testing.assert_allclose(gp_dense[:, :, sl, sl], ref[:, :, sl, sl], atol=1e-7)
+    # out-of-band entries the banded path drops really are negligible
+    # (the posterior tail at these sizes is ~1e-6 — well under signal scale)
+    mask = np.ones((p["T"], p["T"]), dtype=bool)
+    nb = p["T"] // s
+    for i in range(nb):
+        for j in range(nb):
+            if abs(i - j) <= 1:
+                mask[i * s:(i + 1) * s, j * s:(j + 1) * s] = False
+    assert np.abs(ref[:, :, mask]).max() < 1e-5
+
+
+def test_banded_tau_mstep_matches_dense(problem):
+    p = problem
+    args = (jnp.asarray(p["C"]), jnp.asarray(p["d"]), jnp.asarray(p["tau"]),
+            jnp.asarray(p["Y"]), p["T"], p["bin_ms"])
+    dense, _ = laplace_estep_from_arrays(*args)
+    band, _ = laplace_estep_banded(*args, block_size=p["s"])
+
+    ps_dense = np.asarray(pauto_sum(dense.post_mean, dense.post_vsm_gp))
+    ps_band = np.asarray(pauto_sum_banded(band))
+    # PautoSum agrees up to the dropped covariance tail (~1e-6/entry x trials)
+    np.testing.assert_allclose(ps_band, ps_dense, atol=2e-5)
+
+    tr_d = learn_tau(dense.post_mean, dense.post_vsm_gp, jnp.asarray(p["tau"]), p["bin_ms"])
+    tr_b = learn_tau(band.post_mean, None, jnp.asarray(p["tau"]), p["bin_ms"],
+                     num_trials=p["Y"].shape[0], precomp=jnp.asarray(ps_band))
+    np.testing.assert_allclose(np.asarray(tr_b.tau), np.asarray(tr_d.tau), atol=1e-6)
+
+
+def test_banded_fit_trajectory_matches_dense(problem):
+    """Whole-EM parity: banded vs dense path over 3 iterations."""
+    p = problem
+    init = {"C": p["C"] + 0.1, "d": p["d"], "tau": np.array([0.035, 0.035])}
+    dense = fit_loop(init, p["Y"], p["bin_ms"], FitConfig(max_em_iter=3))
+    band = fit_loop(init, p["Y"], p["bin_ms"],
+                    FitConfig(max_em_iter=3, time_block=p["s"]))
+    np.testing.assert_allclose(np.asarray(band.post_loglik),
+                               np.asarray(dense.post_loglik), rtol=0, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(band.tau_seq),
+                               np.asarray(dense.tau_seq), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(band.C_seq),
+                               np.asarray(dense.C_seq), atol=1e-5)
+
+
+def test_long_trial_T1000():
+    """A T=1000 trial fits through the banded path (the dense path would hold
+    a 2000^2 Hessian per trial here; banded memory is O(T s))."""
+    rng = np.random.default_rng(3)
+    xdim, ydim, T, R, bin_ms = 2, 8, 1000, 2, 10.0
+    tau = np.array([0.05, 0.08])
+    C = rng.uniform(-0.4, 0.4, (ydim, xdim))
+    d = rng.uniform(-1.0, -0.2, ydim)
+    # model-consistent latents: sample from the actual GP prior
+    from pgpfa.oracle.oracle_np import rbf_block
+
+    X = np.stack([
+        np.stack([rng.multivariate_normal(np.zeros(T), rbf_block(tau[k], T, bin_ms))
+                  for k in range(xdim)])
+        for _ in range(R)
+    ])
+    Y = rng.poisson(np.exp(np.einsum("nk,rkt->rnt", C, X) + d[None, :, None])).astype(float)
+
+    cfg = FitConfig(max_em_iter=2, time_block=50)
+    res = fit_loop({"C": C, "d": d, "tau": np.array([0.06, 0.06])}, Y, bin_ms, cfg)
+    pll = np.asarray(res.post_loglik)
+    assert np.isfinite(pll).all()
+    assert pll[1] >= pll[0] - 1e-6  # EM improves
+    assert np.all(np.asarray(res.tau) > 0)
