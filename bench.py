@@ -254,28 +254,39 @@ def secondary_configs(file=sys.stderr, iters: int = 10):
         except Exception as e:  # noqa: BLE001 — report and continue
             print(json.dumps({"metric": name, "error": str(e)[:200]}), file=file)
 
-    # MCMC sampling throughput vs the reference's elliptical slice sampler
+    # MCMC sampling throughput vs the reference's elliptical slice sampler:
+    # single chain (latency) and all-trials vmapped branchless ESS (throughput)
     mcmc_base = _load("BASELINE_MEASURED_MCMC.json")
     try:
         import jax.numpy as jnp
 
-        n_samp = 500
-        args = (jnp.asarray(init_s["C"]), jnp.asarray(np.ravel(init_s["d"])),
-                jnp.asarray(np.ravel(init_s["tau"])), jnp.asarray(synth.Y[0], dtype=jnp.float64),
-                synth.T, float(synth.binSize))
-        from pgpfa.infer.mcmc import posterior_mcmc_from_arrays
+        from pgpfa.infer.mcmc import posterior_mcmc_batched, posterior_mcmc_from_arrays
 
-        r = posterior_mcmc_from_arrays(*args, n_samples=n_samp)  # compile
-        float(np.asarray(r.samples)[-1, 0, 0])
-        t0 = time.time()
-        r = posterior_mcmc_from_arrays(*args, n_samples=n_samp)
-        float(np.asarray(r.samples)[-1, 0, 0])
-        dt = time.time() - t0
-        rec = {"metric": "MCMC elliptical-slice sampling (1 trial, synthetic)",
-               "value": round(n_samp / dt, 1), "unit": "samples/sec"}
-        if mcmc_base:
-            rec["vs_baseline"] = round((n_samp / dt) / mcmc_base["samples_per_sec"], 2)
-        print(json.dumps(rec), file=file)
+        n_samp = 500
+        C = jnp.asarray(init_s["C"])
+        dv = jnp.asarray(np.ravel(init_s["d"]))
+        tv = jnp.asarray(np.ravel(init_s["tau"]))
+        Yj = jnp.asarray(synth.Y, dtype=jnp.float64)
+        for name, fn, chains in [
+            ("MCMC elliptical-slice (1 chain, synthetic)",
+             lambda: posterior_mcmc_from_arrays(C, dv, tv, Yj[0], synth.T,
+                                                float(synth.binSize), n_samples=n_samp), 1),
+            ("MCMC elliptical-slice (vmapped branchless, all trials)",
+             lambda: posterior_mcmc_batched(C, dv, tv, Yj, synth.T,
+                                            float(synth.binSize), n_samples=n_samp),
+             synth.Y.shape[0]),
+        ]:
+            r = fn()  # compile
+            float(np.asarray(r.samples).ravel()[-1])
+            t0 = time.time()
+            r = fn()
+            float(np.asarray(r.samples).ravel()[-1])
+            dt = time.time() - t0
+            total = n_samp * chains
+            rec = {"metric": name, "value": round(total / dt, 1), "unit": "samples/sec"}
+            if mcmc_base:
+                rec["vs_baseline"] = round((total / dt) / mcmc_base["samples_per_sec"], 2)
+            print(json.dumps(rec), file=file)
     except Exception as e:  # noqa: BLE001
         print(json.dumps({"metric": "MCMC sampling", "error": str(e)[:200]}), file=file)
 

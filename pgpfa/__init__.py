@@ -58,7 +58,7 @@ from pgpfa.data.batching import subsample_trials, seen_trials  # noqa: E402
 from pgpfa.em.fit import PPGPFAfit, FitConfig, FitResult, fit, fit_loop  # noqa: E402
 from pgpfa.infer.laplace import laplace_estep, laplace_estep_from_arrays  # noqa: E402
 from pgpfa.infer.variational import vi_estep, vi_estep_from_arrays  # noqa: E402
-from pgpfa.infer.mcmc import posterior_mcmc, posterior_mcmc_from_arrays  # noqa: E402
+from pgpfa.infer.mcmc import posterior_mcmc, posterior_mcmc_batched, posterior_mcmc_from_arrays  # noqa: E402
 from pgpfa.diag.crossval import crossValidation, split_train_test  # noqa: E402
 from pgpfa.diag.loo import leave_one_out_prediction  # noqa: E402
 from pgpfa.diag.metrics import subspace_angle, js_logdet_div, mean_cov_y_from_params  # noqa: E402
@@ -96,6 +96,7 @@ __all__ = [
     "vi_estep",
     "vi_estep_from_arrays",
     "posterior_mcmc",
+    "posterior_mcmc_batched",
     "posterior_mcmc_from_arrays",
     "crossValidation",
     "split_train_test",

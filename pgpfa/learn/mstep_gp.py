@@ -52,13 +52,14 @@ def pauto_sum(means: jnp.ndarray, vsm_gps: jnp.ndarray) -> jnp.ndarray:
 
 def tau_cost(p: jnp.ndarray, pauto_k: jnp.ndarray, num_trials, dif_sq: jnp.ndarray, eps: float = 0.001) -> jnp.ndarray:
     """Negative per-latent GP marginal-likelihood term (to minimize)."""
-    from pgpfa.ops.blockmat import solve_psd_mixed
+    from pgpfa.ops.blockmat import logdet_psd_mixed, solve_psd_mixed
 
     K = rbf_kernel_from_gamma(p, dif_sq, eps)
-    L = jnp.linalg.cholesky(K)
-    logdet = 2.0 * jnp.sum(jnp.log(jnp.diagonal(L)))
-    # mixed-precision solve: a many-RHS f64 triangular solve would stall on
-    # TPU (see pgpfa/ops/blockmat.py); differentiable and ~1e-12 accurate.
+    # mixed precision throughout: an f64 Cholesky here was the single biggest
+    # phase of the Stevenson benchmark (0.6 s/EM-iter — f64 factorizations are
+    # emulated on TPU); the f32-factor + f64-correction logdet and the
+    # refined solve hold ~1e-12 accuracy (see pgpfa/ops/blockmat.py).
+    logdet = logdet_psd_mixed(K)
     Kinv_ps = solve_psd_mixed(K, pauto_k)
     return 0.5 * num_trials * logdet + 0.5 * jnp.trace(Kinv_ps)
 

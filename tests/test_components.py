@@ -256,3 +256,29 @@ def test_high_data_loader(tmp_path):
     exp1 = rasters[1].reshape(ydim, 20, 10).sum(axis=2)
     np.testing.assert_allclose(ds.data[1]["Y"], exp1)
     assert ds.raster.shape == (ydim, 20 * R)
+
+
+def test_mcmc_batched_agrees_with_laplace(small):
+    """The branchless vmapped ESS (fixed shrinkage, the TPU throughput path)
+    samples the same posterior as the while_loop single-chain sampler."""
+    train, _ = small
+    from pgpfa.infer.laplace import laplace_estep_from_arrays
+    from pgpfa.infer.mcmc import posterior_mcmc_batched
+
+    C = jnp.asarray(train.params["C"])
+    d = jnp.asarray(train.params["d"])
+    tau = jnp.asarray(train.params["tau"])
+    Y = jnp.asarray(train.Y, dtype=jnp.float64)
+    inf, _ = laplace_estep_from_arrays(C, d, tau, Y[:2], train.T, 20.0)
+
+    res = posterior_mcmc_batched(C, d, tau, Y[:2], train.T, 20.0,
+                                 n_samples=4000, seed=1)
+    assert res.samples.shape[:2] == (2, 4000)
+    for r in range(2):
+        samples = np.asarray(res.samples[r])[1000:]
+        mcmc_mean = samples.mean(axis=0)
+        lap_mean = np.asarray(inf.post_mean[r])
+        lap_sd = np.sqrt(np.diagonal(np.asarray(inf.post_vsm_gp[r]), axis1=1, axis2=2))
+        assert np.max(np.abs(mcmc_mean - lap_mean) / lap_sd) < 0.5
+        mcmc_sd = samples.std(axis=0)
+        np.testing.assert_allclose(mcmc_sd, lap_sd, rtol=0.35)
