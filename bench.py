@@ -290,11 +290,14 @@ def secondary_configs(file=sys.stderr, iters: int = 10):
     except Exception as e:  # noqa: BLE001
         print(json.dumps({"metric": "MCMC sampling", "error": str(e)[:200]}), file=file)
 
-    # CV latent-dim sweep vs the reference crossValidation
+    # CV latent-dim sweep vs the reference crossValidation (warmed: each xdim
+    # is a distinct program; the first sweep is compile-bound on TPU)
     cv_base = _load("BASELINE_MEASURED_CV.json")
     try:
         import pgpfa as _p
 
+        _p.crossValidation(synth, numTrainingTrials=3, numTestTrials=2,
+                           maxXdim=3, maxEMiter=3)  # compile
         t0 = time.time()
         cv = _p.crossValidation(synth, numTrainingTrials=3, numTestTrials=2,
                                 maxXdim=3, maxEMiter=3)
@@ -307,6 +310,34 @@ def secondary_configs(file=sys.stderr, iters: int = 10):
         print(json.dumps(rec), file=file)
     except Exception as e:  # noqa: BLE001
         print(json.dumps({"metric": "CV sweep", "error": str(e)[:200]}), file=file)
+
+    # Stevenson-scale MCMC: 100 vmapped chains (the TPU throughput regime)
+    mcmc_big = _load("BASELINE_MEASURED_MCMC_STEVENSON.json")
+    try:
+        import jax.numpy as jnp
+
+        from pgpfa.infer.mcmc import posterior_mcmc_batched
+
+        n_samp = 200
+        Cb = jnp.asarray(init["C"]); db = jnp.asarray(np.ravel(init["d"]))
+        tb = jnp.asarray(np.ravel(init["tau"]))
+        Yb = jnp.asarray(ds.Y, dtype=jnp.float64)
+        fnb = lambda: posterior_mcmc_batched(Cb, db, tb, Yb, ds.Y.shape[-1],
+                                             float(ds.binSize), n_samples=n_samp)
+        r = fnb()
+        float(np.asarray(r.samples).ravel()[-1])
+        t0 = time.time()
+        r = fnb()
+        float(np.asarray(r.samples).ravel()[-1])
+        dt = time.time() - t0
+        total = n_samp * ds.Y.shape[0]
+        rec = {"metric": "MCMC elliptical-slice, Stevenson-shaped (100 vmapped chains)",
+               "value": round(total / dt, 1), "unit": "samples/sec"}
+        if mcmc_big:
+            rec["vs_baseline"] = round((total / dt) / mcmc_big["samples_per_sec"], 2)
+        print(json.dumps(rec), file=file)
+    except Exception as e:  # noqa: BLE001
+        print(json.dumps({"metric": "MCMC Stevenson-scale", "error": str(e)[:200]}), file=file)
 
 
 if __name__ == "__main__":

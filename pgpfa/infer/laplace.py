@@ -27,10 +27,9 @@ from pgpfa.models.poisson_gpfa import linear_predictor, hessian_weights
 from pgpfa.ops.blockmat import (
     assemble_hessian,
     blocks_inv,
-    chol32,
     cov_views,
-    inv_psd_mixed,
-    solve_psd_mixed,
+    inv_psd_structured,
+    solve_psd_structured,
 )
 
 
@@ -74,7 +73,12 @@ def _newton_solve(Y, X0, C, d, Kinv, weights, gtol, maxiter, max_backtracks=30):
     D = xdim * T
     w = weights[:, None]
     t_min = 0.5**max_backtracks
-    dec_tol = 1e-12
+    # dtype-calibrated tolerances: the f64 values are unreachable in the f32
+    # fast mode and made every solve grind to maxiter with full backtracking
+    # (measured 2.4x SLOWER than f64 before this).
+    f64 = X0.dtype == jnp.float64
+    dec_tol = 1e-12 if f64 else 3e-6
+    slack_coef = 1e-13 if f64 else 5e-7
 
     def objective(X):
         A = linear_predictor(C, d, X)
@@ -84,26 +88,32 @@ def _newton_solve(Y, X0, C, d, Kinv, weights, gtol, maxiter, max_backtracks=30):
             + 0.5 * jnp.einsum("kt,ktu,ku->", X, Kinv, X)
         )
 
+    Kinv32 = Kinv.astype(jnp.float32)
+
     def grad_hess(X):
+        """Gradient + the Hessian's structured parts: the dense f64 Hessian is
+        NEVER assembled (only an f32 copy for the factorization; all f64
+        products go through ``structured_mm`` — see pgpfa/ops/blockmat.py)."""
         A = linear_predictor(C, d, X)
         expA = jnp.exp(A)
         G = C.T @ (w * (expA - Y)) + jnp.einsum("ktu,ku->kt", Kinv, X)
         W = hessian_weights(C, w * expA)
-        H = assemble_hessian(W, Kinv)
-        return G, H
+        L32 = jnp.linalg.cholesky(assemble_hessian(W.astype(jnp.float32), Kinv32))
+        return G, W, L32
 
     def body(carry):
-        # (G, H) ride in the carry so grad_hess runs ONCE per iteration (it
-        # used to be evaluated both at the loop top and for the convergence
-        # check at the bottom).
-        X, f, G, H, it, done = carry
-        # f32 factorization + f64 iterative refinement: f64 triangular solves
-        # are pathologically slow on TPU (see pgpfa/ops/blockmat.py).
-        dX = solve_psd_mixed(H, G.reshape(D), L32=chol32(H)).reshape(xdim, T)
+        # (G, W, L32) ride in the carry so grad_hess runs ONCE per iteration
+        # (it used to be evaluated both at the loop top and for the
+        # convergence check at the bottom).
+        X, f, G, W, L32, it, done = carry
+        # f32 factorization + structured f64 iterative refinement: f64
+        # triangular solves and dense f64 matmuls are pathologically slow on
+        # TPU (see pgpfa/ops/blockmat.py).
+        dX = solve_psd_structured(W, Kinv, G.reshape(D), L32).reshape(xdim, T)
         slope = jnp.vdot(G, dX)  # Newton decrement^2 = g^T H^{-1} g
         converged = slope <= dec_tol
         # 1-ULP slack: near the optimum f(X - t dX) can round a hair above f.
-        slack = 1e-13 * (1.0 + jnp.abs(f))
+        slack = slack_coef * (1.0 + jnp.abs(f))
 
         def ls_cond(ls):
             t, f_try = ls
@@ -119,25 +129,26 @@ def _newton_solve(Y, X0, C, d, Kinv, weights, gtol, maxiter, max_backtracks=30):
         accept = jnp.isfinite(f_try) & (f_try <= f + slack) & ~converged
         X_new = jnp.where(accept, X - t * dX, X)
         f_new = jnp.where(accept, jnp.minimum(f_try, f), f)
-        G_new, H_new = grad_hess(X_new)
+        G_new, W_new, L32_new = grad_hess(X_new)
         done_new = converged | (jnp.max(jnp.abs(G_new)) <= gtol) | ~accept
         # Freeze lanes that converged in an earlier iteration (vmapped
         # while_loop keeps executing the body for every lane until all stop).
         X_out = jnp.where(done, X, X_new)
         f_out = jnp.where(done, f, f_new)
         G_out = jnp.where(done, G, G_new)
-        H_out = jnp.where(done, H, H_new)
+        W_out = jnp.where(done, W, W_new)
+        L32_out = jnp.where(done, L32, L32_new)
         it_out = jnp.where(done, it, it + 1)
-        return X_out, f_out, G_out, H_out, it_out, done | done_new
+        return X_out, f_out, G_out, W_out, L32_out, it_out, done | done_new
 
     def cond(carry):
-        _, _, _, _, it, done = carry
+        _, _, _, _, _, it, done = carry
         return (it < maxiter) & ~done
 
-    G0, H0 = grad_hess(X0)
+    G0, W0, L32_0 = grad_hess(X0)
     done0 = jnp.max(jnp.abs(G0)) <= gtol
-    X, f, _, _, it, _ = jax.lax.while_loop(
-        cond, body, (X0, objective(X0), G0, H0, jnp.asarray(0), done0)
+    X, f, _, _, _, it, _ = jax.lax.while_loop(
+        cond, body, (X0, objective(X0), G0, W0, L32_0, jnp.asarray(0), done0)
     )
     return X, f, it
 
@@ -197,11 +208,12 @@ def laplace_estep_from_arrays(
     def posterior_cov(X_tr, Y_tr):
         A = linear_predictor(C, d, X_tr)
         W = hessian_weights(C, weights[:, None] * jnp.exp(A))
-        H = assemble_hessian(W, Kinv)
         # the trailing f64 refinement step is REQUIRED: with an f32-floor
         # covariance the EM-trajectory parity degrades to ~4e-6 (> 1e-6
         # target; measured against the oracle) — the moments feed the M-step.
-        return inv_psd_mixed(H)
+        # The refinement residual is computed structurally (never a dense
+        # f64 matmul).
+        return inv_psd_structured(W, Kinv)
 
     cov = jax.vmap(posterior_cov)(X, Y)
     vsm, vsm_gp = jax.vmap(lambda c: cov_views(c, xdim, T))(cov)

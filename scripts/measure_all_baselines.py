@@ -73,10 +73,17 @@ def main():
             json.dump(res, f, indent=1)
         print(json.dumps(res), flush=True)
 
-    # Stevenson-scale batch Laplace (the headline denominator) last — longest
+    # Stevenson-scale MCMC (single chain — the reference has no batching)
     ds = stevenson_surrogate(xdim=5, seed=2011)
     init = initialize_params(5, ds.ydim, ds, seed=0)
     big = _save_problem(ds.Y, init, ds.trialDur, ds.binSize)
+    print("measuring stevenson mcmc...", file=sys.stderr, flush=True)
+    res = _measure(big, 200, "mcmc")
+    with open(os.path.join(REPO, "BASELINE_MEASURED_MCMC_STEVENSON.json"), "w") as f:
+        json.dump(res, f, indent=1)
+    print(json.dumps(res), flush=True)
+
+    # Stevenson-scale batch Laplace (the headline denominator) last — longest
     print(f"measuring stevenson laplace x{stevenson_iters}...", file=sys.stderr, flush=True)
     res = _measure(big, stevenson_iters, "laplace")
     with open(os.path.join(REPO, "BASELINE_MEASURED.json"), "w") as f:
