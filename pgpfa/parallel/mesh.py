@@ -9,8 +9,16 @@ with ``psum`` over ICI.
 Why only a 1-D mesh: tensor/pipeline/expert parallelism do not apply to this
 model family (no layer stack, no MoE; SURVEY.md §2.3) — the latent axis is
 block-diagonal in the prior but densely coupled through the observation
-Hessian, so latents cannot shard the E-step. The time axis is the long-context
-scaling direction (blockwise solves) and is a future mesh axis.
+Hessian, so latents cannot shard the E-step.
+
+The time axis (the SP/CP slot) scales WITHIN a chip: ``FitConfig(time_block)``
+switches the E-step to block-tridiagonal banded algebra with O(T) time/memory
+(``pgpfa/ops/blocktridiag.py``), so a long trial never materializes dense
+``(xdim*T)^2`` state; trials remain the cross-chip axis. Composing both is
+exercised by ``__graft_entry__.dryrun_multichip``. (A cross-chip time axis
+would need a parallel-in-time factorization — cyclic reduction over the mesh —
+which the sequential Schur recursion deliberately avoids; at the reference's
+problem sizes the trial axis is the one that grows into multi-chip territory.)
 """
 
 from __future__ import annotations
