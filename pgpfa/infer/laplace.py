@@ -109,7 +109,10 @@ def _newton_solve(Y, X0, C, d, Kinv, weights, gtol, maxiter, max_backtracks=30):
         # f32 factorization + structured f64 iterative refinement: f64
         # triangular solves and dense f64 matmuls are pathologically slow on
         # TPU (see pgpfa/ops/blockmat.py).
-        dX = solve_psd_structured(W, Kinv, G.reshape(D), L32).reshape(xdim, T)
+        # ir_steps=1: one structured f64 refinement leaves relative direction
+        # error ~(eps_f32 * kappa)^2 ~ 1e-8 — far below what Newton needs
+        # (mode accuracy is set by the decrement test, not direction noise).
+        dX = solve_psd_structured(W, Kinv, G.reshape(D), L32, ir_steps=1).reshape(xdim, T)
         slope = jnp.vdot(G, dX)  # Newton decrement^2 = g^T H^{-1} g
         converged = slope <= dec_tol
         # 1-ULP slack: near the optimum f(X - t dX) can round a hair above f.
@@ -212,8 +215,10 @@ def laplace_estep_from_arrays(
         # covariance the EM-trajectory parity degrades to ~4e-6 (> 1e-6
         # target; measured against the oracle) — the moments feed the M-step.
         # The refinement residual is computed structurally (never a dense
-        # f64 matmul).
-        return inv_psd_structured(W, Kinv)
+        # f64 matmul), and kappa(H) <~ 1e3-1e4 here makes the f32
+        # Newton-Schulz steps unnecessary: cho_solve + ONE f64 step already
+        # lands at ~1e-10 (measured at both toy and Stevenson conditioning).
+        return inv_psd_structured(W, Kinv, ns_steps=1, f64_steps=1)
 
     cov = jax.vmap(posterior_cov)(X, Y)
     vsm, vsm_gp = jax.vmap(lambda c: cov_views(c, xdim, T))(cov)
