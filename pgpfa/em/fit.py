@@ -80,6 +80,12 @@ class FitConfig:
     cd_tol: float = 1e-9
     tau_maxiter: int = 6
     vi_maxiter: int = 150  # fixed L-BFGS scan length (branchless dual solve)
+    # scan length for warm-started E-steps (rho carried from the previous EM
+    # iteration; the dual re-converges in far fewer steps — per-iteration VLB
+    # stays within the reference's own optimizer slop ~1e-3 at 100). Applies
+    # to fit_loop/PPGPFAfit; the fused fit's single scan uses vi_maxiter
+    # throughout.
+    vi_maxiter_warm: int = 100
     vi_gtol: float = 1e-8
     eps_noise: float = 0.001
     # long-trial (banded / block-tridiagonal) E-step: time-block size in bins,
@@ -139,7 +145,8 @@ def _estep(C, d, tau, Y, T, bin_size_ms, warm, cfg: FitConfig, compute_cov: bool
         return inf, pll, jnp.zeros_like(pll), inf.post_mean
     inf, pll, vlb, rho = vi_estep_from_arrays(
         C, d, tau, Y, T, bin_size_ms,
-        rho_init=warm, gtol=cfg.vi_gtol, maxiter=cfg.vi_maxiter,
+        rho_init=warm, gtol=cfg.vi_gtol,
+        maxiter=cfg.vi_maxiter if warm is None else cfg.vi_maxiter_warm,
         compute_cov=compute_cov, eps_noise=cfg.eps_noise,
     )
     return inf, pll, vlb, rho
