@@ -36,7 +36,7 @@ def _loo_predict(C, d, tau, Y, T: int, bin_size_ms: float, gtol=1e-8, maxiter: i
     def one(y_tr, n):
         w = 1.0 - eye_y[n]
         x0 = jnp.zeros((xdim, T), dtype=C.dtype)
-        X, _, _ = _newton_solve(y_tr, x0, C, d, Kinv, w, gtol, maxiter)
+        X, _, _, _, _ = _newton_solve(y_tr, x0, C, d, Kinv, w, gtol, maxiter)
         pred = jnp.exp(C[n] @ X + d[n])  # (T,)
         err = jnp.sum((y_tr[n] - pred) ** 2)
         return pred, err

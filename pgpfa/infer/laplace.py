@@ -150,10 +150,13 @@ def _newton_solve(Y, X0, C, d, Kinv, weights, gtol, maxiter, max_backtracks=30):
 
     G0, W0, L32_0 = grad_hess(X0)
     done0 = jnp.max(jnp.abs(G0)) <= gtol
-    X, f, _, _, _, it, _ = jax.lax.while_loop(
+    X, f, _, W, L32, it, _ = jax.lax.while_loop(
         cond, body, (X0, objective(X0), G0, W0, L32_0, jnp.asarray(0), done0)
     )
-    return X, f, it
+    # (W, L32) are evaluated AT the returned mode X (grad_hess runs once per
+    # accepted step and frozen lanes carry their own consistent values), so
+    # the caller can reuse the factorization for the posterior covariance.
+    return X, f, it, W, L32
 
 
 @partial(
@@ -206,21 +209,22 @@ def laplace_estep_from_arrays(
     solve = jax.vmap(
         lambda y, x0: _newton_solve(y, x0, C, d, Kinv, weights, gtol, maxiter)
     )
-    X, obj, iters = solve(Y, x_init)
+    X, obj, iters, W_final, L32_final = solve(Y, x_init)
 
-    def posterior_cov(X_tr, Y_tr):
-        A = linear_predictor(C, d, X_tr)
-        W = hessian_weights(C, weights[:, None] * jnp.exp(A))
-        # the trailing f64 refinement step is REQUIRED: with an f32-floor
+    def posterior_cov(W_tr, L32_tr):
+        # (W, L32) come straight from the Newton solve's final iterate —
+        # reusing the factorization saves a full batched Hessian reassembly
+        # (exp + einsums) and a batched (xdim*T)^3 Cholesky per E-step.
+        # The trailing f64 refinement step is REQUIRED: with an f32-floor
         # covariance the EM-trajectory parity degrades to ~4e-6 (> 1e-6
         # target; measured against the oracle) — the moments feed the M-step.
         # The refinement residual is computed structurally (never a dense
         # f64 matmul), and kappa(H) <~ 1e3-1e4 here makes the f32
         # Newton-Schulz steps unnecessary: cho_solve + ONE f64 step already
         # lands at ~1e-10 (measured at both toy and Stevenson conditioning).
-        return inv_psd_structured(W, Kinv, ns_steps=1, f64_steps=1)
+        return inv_psd_structured(W_tr, Kinv, ns_steps=1, f64_steps=1, L32=L32_tr)
 
-    cov = jax.vmap(posterior_cov)(X, Y)
+    cov = jax.vmap(posterior_cov)(W_final, L32_final)
     vsm, vsm_gp = jax.vmap(lambda c: cov_views(c, xdim, T))(cov)
 
     res = InfRes(

@@ -98,7 +98,7 @@ def sharded_estep_stats(
     def local(y_shard):
         R_local = y_shard.shape[0]
         x0 = jnp.zeros((R_local, xdim, T), dtype=C.dtype)
-        X, obj, _ = jax.vmap(
+        X, obj, _, _, _ = jax.vmap(
             lambda y, x: _newton_solve(y, x, C, d, Kinv, w, gtol, maxiter)
         )(y_shard, x0)
 
