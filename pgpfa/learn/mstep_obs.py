@@ -185,11 +185,14 @@ def learn_cd_newton(
         eta = C @ M2.T + 0.5 * (O @ Vf.T) + dn[:, None]  # (ydim, s)
         return jnp.exp(eta), O
 
-    def cost(theta):
-        """Per-neuron costs (ydim,). sum_s y*hh is linear in theta -> exact
-        from the precomputed Ym/Ysum; only the rate sum needs fresh work."""
+    def cost_from(theta, rate):
+        """Per-neuron costs (ydim,) from precomputed rates. sum_s y*hh is
+        linear in theta -> exact from the precomputed Ym/Ysum; only the rate
+        sum needs fresh work. The f64 exp inside rates() is the M-step's
+        single biggest cost on TPU (~5.5 ms per call at Stevenson scale), so
+        rates ride the scan carry and each candidate's exp is evaluated ONCE
+        and reused for the next iteration's gradient/Hessian."""
         C, dn = theta[:, :-1], theta[:, -1]
-        rate, _ = rates(theta)
         y_hh = jnp.sum(C * Ym, axis=1) + dn * Ysum
         f = -(y_hh - jnp.sum(rate, axis=1)) / R
         if prior_blocks is not None:
@@ -197,9 +200,8 @@ def learn_cd_newton(
             f = f + 0.5 * jnp.einsum("nq,nqp,np->n", dv, Pb, dv)
         return f
 
-    def grad_hess(theta):
+    def grad_hess(theta, rate):
         C, dn = theta[:, :-1], theta[:, -1]
-        rate, O = rates(theta)
         A1 = rate @ M2  # (ydim, x): sum rate * m
         W = (rate @ Vf).reshape(ydim, xdim, xdim)  # sum rate * V
         Wc = jnp.einsum("nkl,nl->nk", W, C)  # sum rate * (V c)
@@ -233,25 +235,34 @@ def learn_cd_newton(
     eye_q = jnp.eye(q, dtype=dt)
 
     def body(carry, _):
-        th, f = carry
-        g, H = grad_hess(th)
+        th, f, rate = carry
+        g, H = grad_hess(th, rate)
         # SPD solve via f32 Cholesky + refinement: f64 LU/trisolve are
         # unusable on TPU (see pgpfa/ops/blockmat.py).
         step = jax.vmap(solve_psd_mixed)(H + 1e-10 * eye_q, g)
         cand1 = th - step
         cand2 = th - 0.25 * step
-        f1 = cost(cand1)
-        f2 = cost(cand2)
+        rate1, _ = rates(cand1)
+        rate2, _ = rates(cand2)
+        f1 = cost_from(cand1, rate1)
+        f2 = cost_from(cand2, rate2)
         f1 = jnp.where(jnp.isfinite(f1), f1, jnp.inf)
         f2 = jnp.where(jnp.isfinite(f2), f2, jnp.inf)
         use2 = (f2 < f1)[:, None]
         f_new = jnp.minimum(f1, f2)
         th_new = jnp.where(use2, cand2, cand1)
+        rate_new = jnp.where(use2, rate2, rate1)
         better = (f_new < f)[:, None]
-        return (jnp.where(better, th_new, th), jnp.minimum(f_new, f)), None
+        return (
+            jnp.where(better, th_new, th),
+            jnp.minimum(f_new, f),
+            jnp.where(better, rate_new, rate),
+        ), None
 
-    (th, f_n), _ = jax.lax.scan(body, (theta0, cost(theta0)), None, length=n_iter)
-    g, _ = grad_hess(th)
+    rate0, _ = rates(theta0)
+    carry0 = (theta0, cost_from(theta0, rate0), rate0)
+    (th, f_n, rate_f), _ = jax.lax.scan(body, carry0, None, length=n_iter)
+    g, _ = grad_hess(th, rate_f)
     C, d = th[:, :-1], th[:, -1]
     return CdResult(
         C=C, d=d, cost=jnp.sum(f_n), grad_norm=jnp.max(jnp.abs(g)),

@@ -59,7 +59,12 @@ def structured_mm(W: jnp.ndarray, B: jnp.ndarray, Xm: jnp.ndarray) -> jnp.ndarra
         out = out + jnp.einsum("tkl,lt->kt", W, X4, precision=hi)
         return out.reshape(-1)
     out = jnp.einsum("ktu,kum->ktm", B, X4, precision=hi)
-    out = out + jnp.einsum("tkl,ltm->ktm", W, X4, precision=hi)
+    # W part as a fused broadcast-multiply-reduce: the natural einsum
+    # ("tkl,ltm->ktm") lowers to T tiny (xdim, xdim) f64 matmuls on TPU —
+    # measured 157 ms vs 8 ms for this form at Stevenson scale.
+    out = out + jnp.sum(
+        jnp.transpose(W, (1, 2, 0))[..., None] * X4[None], axis=1
+    )
     return out.reshape(xdim * T, -1)
 
 
