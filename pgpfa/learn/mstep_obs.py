@@ -235,33 +235,40 @@ def learn_cd_newton(
     eye_q = jnp.eye(q, dtype=dt)
 
     def body(carry, _):
-        th, f, rate = carry
+        # Single-candidate damped Newton: ONE f64 exp per iteration (the
+        # dominant TPU cost of this M-step). A rejected step shrinks the
+        # per-neuron damping 4x for the retry and an accepted step resets it
+        # — same guarded-monotone behavior as evaluating both candidates,
+        # at half the exp count. All comparisons are exact f64, so the
+        # iterates stay deterministic across compilation contexts (the
+        # fused-fit == host-loop equality test pins this).
+        th, f, rate, tdamp = carry
         g, H = grad_hess(th, rate)
         # SPD solve via f32 Cholesky + refinement: f64 LU/trisolve are
         # unusable on TPU (see pgpfa/ops/blockmat.py).
         step = jax.vmap(solve_psd_mixed)(H + 1e-10 * eye_q, g)
-        cand1 = th - step
-        cand2 = th - 0.25 * step
-        rate1, _ = rates(cand1)
-        rate2, _ = rates(cand2)
-        f1 = cost_from(cand1, rate1)
-        f2 = cost_from(cand2, rate2)
-        f1 = jnp.where(jnp.isfinite(f1), f1, jnp.inf)
-        f2 = jnp.where(jnp.isfinite(f2), f2, jnp.inf)
-        use2 = (f2 < f1)[:, None]
-        f_new = jnp.minimum(f1, f2)
-        th_new = jnp.where(use2, cand2, cand1)
-        rate_new = jnp.where(use2, rate2, rate1)
-        better = (f_new < f)[:, None]
+        cand = th - tdamp[:, None] * step
+        rate_c, _ = rates(cand)
+        f_c = cost_from(cand, rate_c)
+        f_c = jnp.where(jnp.isfinite(f_c), f_c, jnp.inf)
+        # f32 fast mode: true improvements near convergence fall below f32's
+        # cost resolution; a strict test then rejects them and the shrinking
+        # damping stalls the iterate short of the optimum. The slack is 0 in
+        # f64, keeping the default mode's exact monotone semantics.
+        slack = (0.0 if dt == jnp.float64 else 2e-6) * (1.0 + jnp.abs(f))
+        better = f_c < f + slack
+        b2 = better[:, None]
         return (
-            jnp.where(better, th_new, th),
-            jnp.minimum(f_new, f),
-            jnp.where(better, rate_new, rate),
+            jnp.where(b2, cand, th),
+            jnp.where(better, f_c, f),
+            jnp.where(b2, rate_c, rate),
+            jnp.where(better, jnp.ones_like(tdamp), 0.25 * tdamp),
         ), None
 
     rate0, _ = rates(theta0)
-    carry0 = (theta0, cost_from(theta0, rate0), rate0)
-    (th, f_n, rate_f), _ = jax.lax.scan(body, carry0, None, length=n_iter)
+    tdamp0 = jnp.ones((ydim,), dtype=dt)
+    carry0 = (theta0, cost_from(theta0, rate0), rate0, tdamp0)
+    (th, f_n, rate_f, _), _ = jax.lax.scan(body, carry0, None, length=n_iter)
     g, _ = grad_hess(th, rate_f)
     C, d = th[:, :-1], th[:, -1]
     return CdResult(

@@ -58,10 +58,12 @@ def structured_mm(W: jnp.ndarray, B: jnp.ndarray, Xm: jnp.ndarray) -> jnp.ndarra
         out = jnp.einsum("ktu,ku->kt", B, X4, precision=hi)
         out = out + jnp.einsum("tkl,lt->kt", W, X4, precision=hi)
         return out.reshape(-1)
-    out = jnp.einsum("ktu,kum->ktm", B, X4, precision=hi)
-    # W part as a fused broadcast-multiply-reduce: the natural einsum
-    # ("tkl,ltm->ktm") lowers to T tiny (xdim, xdim) f64 matmuls on TPU —
-    # measured 157 ms vs 8 ms for this form at Stevenson scale.
+    # Both parts as fused broadcast-multiply-reduces: XLA's f64 dot runs at
+    # <0.1 TFLOP/s for these shapes on TPU (emulated), so the bandwidth-bound
+    # elementwise form wins — measured at Stevenson scale: W part 157 -> 8 ms
+    # (the "tkl,ltm" einsum lowers to T tiny (xdim, xdim) f64 matmuls),
+    # B part 137 -> 104 ms.
+    out = jnp.sum(B[:, :, :, None] * X4[:, None], axis=2)
     out = out + jnp.sum(
         jnp.transpose(W, (1, 2, 0))[..., None] * X4[None], axis=1
     )
