@@ -175,7 +175,9 @@ def laplace_estep_banded(
 
     def build_M(expA):
         """M = S_K^{-1} + A^T W A, block-tridiagonal in combined layout."""
-        Wbin = jnp.einsum("nt,nk,nl->tkl", w * expA, C, C)
+        from pgpfa.models.poisson_gpfa import hessian_weights
+
+        Wbin = hessian_weights(C, w * expA)
         Wc = _w_to_combined(Wbin, nb, s)
         WG = jnp.matmul(Wc[1:], Gc, precision=_HI)  # (nb-1, m, m) = W_{i+1} Gc_{i+1}
         Md = Pc + Wc

@@ -44,7 +44,9 @@ from pgpfa.utils.optim import minimize_lbfgs_fixed
 def _posterior_precision(lam, C, Kinv, ridge=1e-6):
     """Structured posterior precision + relative diagonal ridge
     (reference ``funs/inference.py:188-191``)."""
-    W = jnp.einsum("nt,nk,nl->tkl", lam, C, C)
+    from pgpfa.models.poisson_gpfa import hessian_weights
+
+    W = hessian_weights(C, lam)
     prec = assemble_hessian(W, Kinv)
     return prec + ridge * jnp.diag(jnp.diag(prec))
 

@@ -66,8 +66,14 @@ def hessian_weights(C: jnp.ndarray, expA: jnp.ndarray) -> jnp.ndarray:
 
     This is the structured equivalent of the reference's
     ``C_big @ diag(exp(A)) @ C_big.T`` sandwich (``funs/inference.py:50-65``).
+    Computed as one ``(T, ydim) @ (ydim, xdim^2)`` matmul against the
+    flattened outer products of C's rows — the three-operand einsum form
+    lowers to T tiny ``(xdim, xdim)`` f64 matmuls on TPU (~12 ms per Newton
+    iteration at Stevenson scale vs ~3 ms for this form).
     """
-    return jnp.einsum("nt,nk,nl->tkl", expA, C, C)
+    ydim, xdim = C.shape
+    CC = (C[:, :, None] * C[:, None, :]).reshape(ydim, xdim * xdim)
+    return (expA.T @ CC).reshape(expA.shape[1], xdim, xdim)
 
 
 def neg_log_posterior_hess(
