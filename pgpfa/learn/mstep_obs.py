@@ -165,8 +165,11 @@ def learn_cd_newton(
     # -- precomputed moment tensors over the flattened sample axis ----------
     M2 = jnp.swapaxes(means, 1, 2).reshape(s, xdim)  # (s, x)
     Vf = vsms.reshape(s, xdim * xdim)  # (s, x^2)
-    V3 = vsms.reshape(s, xdim, xdim)
     P2 = (M2[:, :, None] * M2[:, None, :]).reshape(s, xdim * xdim)  # m (x) m
+    MV = (M2[:, :, None] * Vf[:, None, :]).reshape(s, xdim**3)  # m (x) V
+    big_vv = xdim > 8
+    if not big_vv:
+        VV = (Vf[:, :, None] * Vf[:, None, :]).reshape(s, xdim**4)  # V (x) V
     Yf = jnp.swapaxes(Y, 0, 1).reshape(ydim, s)  # (ydim, s)
     Ym = Yf @ M2  # (ydim, x): sum_s y m
     Ysum = jnp.sum(Yf, axis=1)  # (ydim,)
@@ -209,15 +212,15 @@ def learn_cd_newton(
         g = jnp.concatenate([g_c, g_d[:, None]], axis=1)  # (ydim, q)
 
         S_mm = (rate @ P2).reshape(ydim, xdim, xdim)
-        # rate-weighted (Vc) statistics via the per-neuron contraction: the
-        # rank-expanded alternative (rate @ [V (x) V], a (ydim, s) @
-        # (s, xdim^4) f64 matmul) runs at <0.1 TFLOP/s emulated on TPU and
-        # dominated this M-step (~16 ms/Newton-iteration at Stevenson scale);
-        # these n-batched (xdim, s) @ (s, xdim) forms carry ~10x fewer flops.
-        VC = jnp.einsum("skl,nl->nsk", V3, C)  # (ydim, s, x): V c per sample
-        rVC = rate[:, :, None] * VC
-        T2 = jnp.einsum("sk,nsl->nkl", M2, rVC)  # sum rate * m (Vc)^T
-        T4 = jnp.einsum("nsk,nsl->nkl", VC, rVC)  # sum rate * (Vc)(Vc)^T
+        S_mv = (rate @ MV).reshape(ydim, xdim, xdim, xdim)  # [n,k,l,j]: m_k V_lj
+        T2 = jnp.einsum("nklj,nj->nkl", S_mv, C)  # sum rate * m (Vc)^T
+        if big_vv:
+            # contraction fallback: sum_s rate * (Vc)(Vc)^T without V(x)V
+            VC = jnp.einsum("skl,nl->nsk", vsms.reshape(s, xdim, xdim), C)
+            T4 = jnp.einsum("ns,nsk,nsl->nkl", rate, VC, VC)
+        else:
+            S_vv = (rate @ VV).reshape(ydim, xdim, xdim, xdim, xdim)  # [n,k,i,l,j]
+            T4 = jnp.einsum("nkilj,ni,nj->nkl", S_vv, C, C)
         H_cc = (S_mm + T2 + jnp.swapaxes(T2, 1, 2) + T4 + W) / R
         H_cd = (A1 + Wc) / R  # (ydim, x)
         H_dd = rsum / R
