@@ -13,6 +13,12 @@ Prints ONE JSON line:
                  BASELINE_MEASURED*.json (re-measure with --measure-baseline).
 * parity_traj_maxabs — max |nPLL difference| vs the actual reference code over
                  ALL reference-measured EM iterations (not just the first).
+* parity_floor_ref_vs_oracle — the same statistic for the EXACT NumPy/SciPy
+                 oracle vs the recorded reference run: EM trajectories at this
+                 scale amplify inner-optimizer stopping noise ~4-5x per
+                 iteration, so this is the reproducibility floor of the
+                 recorded trajectory itself, the scale against which
+                 parity_traj_maxabs should be read.
 * mfu_pct      — XLA-counted FLOPs per EM iteration / measured time / TPU v5e
                  bf16 peak (197 TFLOP/s). The fit runs f64-refined mixed
                  precision, so this is a conservative utilization figure.
@@ -102,10 +108,21 @@ def main():
     sec_per_iter = steady / BENCH_ITERS
     speedup = baseline["sec_per_iter"] / sec_per_iter
 
-    # multi-iteration trajectory parity vs the actual reference code
+    # multi-iteration trajectory parity vs the actual reference code.
+    # Context: EM trajectories at this scale amplify inner-optimizer stopping
+    # noise ~4-5x per iteration, so ANY two implementations drift apart at the
+    # same rate — the exact scipy oracle differs from the recorded reference
+    # run by 6.3e-5 at iteration 4 (ORACLE_TRAJ_STEVENSON.json), while all
+    # three agree to 3.8e-7 at iteration 1 on identical inputs. The
+    # ref-vs-oracle figure below is that implementation-noise floor.
     ref_pll = np.asarray(baseline.get("post_loglik", []))
     ours = np.asarray(res.post_loglik)[: len(ref_pll)]
     parity = float(np.max(np.abs(ours - ref_pll))) if len(ref_pll) else None
+    floor = None
+    oracle = _load("ORACLE_TRAJ_STEVENSON.json")
+    if oracle and len(ref_pll):
+        orc = np.asarray(oracle["post_loglik"])[: len(ref_pll)]
+        floor = float(np.max(np.abs(orc - ref_pll)))
 
     # MFU from XLA's flop count of the compiled phase programs
     mfu_pct = None
@@ -118,7 +135,8 @@ def main():
     print(
         f"compile+first run: {compile_and_run:.1f}s; steady: {sec_per_iter:.3f}s/iter; "
         f"reference: {baseline['sec_per_iter']:.1f}s/iter; "
-        f"nPLL trajectory max abs diff vs reference over {len(ref_pll)} iters: {parity}",
+        f"nPLL trajectory max abs diff vs reference over {len(ref_pll)} iters: {parity} "
+        f"(exact-oracle-vs-reference floor: {floor})",
         file=sys.stderr,
     )
 
@@ -135,6 +153,7 @@ def main():
                 "unit": "EM iters/sec",
                 "vs_baseline": round(speedup, 2),
                 "parity_traj_maxabs": parity,
+                "parity_floor_ref_vs_oracle": floor,
                 "mfu_pct": mfu_pct,
             }
         )

@@ -76,7 +76,13 @@ class FitConfig:
     newton_gtol: float = 1e-8
     newton_maxiter: int = 100
     cd_maxiter: int = 500  # L-BFGS path cap
-    cd_newton_iters: int = 8  # per-neuron Newton fixed count
+    # per-neuron Newton fixed count. At Stevenson scale the damped Newton's
+    # gradient reaches its floor by ~5 iterations and 6/8/12/16 give
+    # identical trajectories — but at 6 the toy configs have not quite frozen
+    # and 1-ULP cross-compilation rounding differences surface as a ~3e-10
+    # fused-vs-host-loop nPLL gap, breaking the exact path-equality
+    # invariant. 8 keeps both paths bit-identical.
+    cd_newton_iters: int = 8
     cd_tol: float = 1e-9
     tau_maxiter: int = 6
     vi_maxiter: int = 150  # fixed L-BFGS scan length (branchless dual solve)

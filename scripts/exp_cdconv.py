@@ -39,7 +39,7 @@ def run(cfg, n_em=4):
 def main():
     print(f"device: {jax.devices()[0]}", flush=True)
     base = None
-    for n_iter in (8, 12, 16):
+    for n_iter in (6, 8):
         cfg = FitConfig(max_em_iter=4, cd_newton_iters=n_iter)
         g, pll = run(cfg)
         if base is None:
