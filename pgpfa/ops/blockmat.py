@@ -58,15 +58,21 @@ def structured_mm(W: jnp.ndarray, B: jnp.ndarray, Xm: jnp.ndarray) -> jnp.ndarra
         out = jnp.einsum("ktu,ku->kt", B, X4, precision=hi)
         out = out + jnp.einsum("tkl,lt->kt", W, X4, precision=hi)
         return out.reshape(-1)
-    # Both parts as fused broadcast-multiply-reduces: XLA's f64 dot runs at
-    # <0.1 TFLOP/s for these shapes on TPU (emulated), so the bandwidth-bound
-    # elementwise form wins — measured at Stevenson scale: W part 157 -> 8 ms
-    # (the "tkl,ltm" einsum lowers to T tiny (xdim, xdim) f64 matmuls),
-    # B part 137 -> 104 ms.
-    out = jnp.sum(B[:, :, :, None] * X4[:, None], axis=2)
-    out = out + jnp.sum(
-        jnp.transpose(W, (1, 2, 0))[..., None] * X4[None], axis=1
-    )
+    if Xm.dtype == jnp.float64:
+        # f64: both parts as fused broadcast-multiply-reduces. XLA's f64 dot
+        # is emulated at <0.1 TFLOP/s for these shapes on TPU, so the
+        # bandwidth-bound elementwise form wins — measured at Stevenson
+        # scale: W part 157 -> 8 ms (the "tkl,ltm" einsum lowers to T tiny
+        # (xdim, xdim) f64 matmuls), B part 137 -> 104 ms.
+        out = jnp.sum(B[:, :, :, None] * X4[:, None], axis=2)
+        out = out + jnp.sum(
+            jnp.transpose(W, (1, 2, 0))[..., None] * X4[None], axis=1
+        )
+    else:
+        # f32 fast mode: matmuls run natively on the MXU and beat the
+        # bandwidth-bound form — keep the einsums.
+        out = jnp.einsum("ktu,kum->ktm", B, X4, precision=hi)
+        out = out + jnp.einsum("tkl,ltm->ktm", W, X4, precision=hi)
     return out.reshape(xdim * T, -1)
 
 
