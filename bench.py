@@ -275,13 +275,14 @@ def secondary_configs(file=sys.stderr, iters: int = 10):
     init_s = pgpfa.initializeParams(2, 20, synth, seed=0)
     ds, init = build_problem()
     vi_base = _load("BASELINE_MEASURED_VI.json")
+    online_base = _load("BASELINE_MEASURED_ONLINE.json")
 
     jobs = [
         ("synthetic Laplace-EM (example.py config)", synth, init_s,
          FitConfig(max_em_iter=iters), None),
         ("Stevenson-shaped online-EM 'diag' (batch 10)", ds, init,
          FitConfig(em_mode="online", online_update="diag", batch_size=10,
-                   max_em_iter=iters), None),
+                   max_em_iter=iters), online_base),
         ("synthetic variational-EM (vmapped branchless dual L-BFGS)", synth, init_s,
          FitConfig(inference_method="variational", max_em_iter=iters), vi_base),
     ]

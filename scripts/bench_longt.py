@@ -1,0 +1,93 @@
+"""Long-trial scaling benchmark: banded (block-tridiagonal) vs dense E-step
+wall time as T grows (the reference's T-scaling wall is the dense
+(xdim*T)^2/3 Hessian work; the banded path is O(T s^2) time, O(T s) memory).
+
+Prints one line per (T, path) with seconds per E-step on the default device,
+plus the banded/dense posterior-mean agreement at each size.
+
+Run: python scripts/bench_longt.py
+"""
+
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, __file__.rsplit("/", 2)[0])
+
+import jax
+import jax.numpy as jnp
+
+from pgpfa.infer.laplace import laplace_estep_from_arrays
+from pgpfa.infer.laplace_longt import laplace_estep_banded
+
+XDIM, YDIM, R, BIN = 2, 30, 16, 10.0
+TAU = np.array([0.05, 0.08])
+S = 50  # block: 500 ms >= 6 * 80 ms
+
+
+def problem(T, seed=0):
+    rng = np.random.default_rng(seed)
+    from pgpfa.oracle.oracle_np import rbf_block
+
+    C = rng.uniform(-0.4, 0.4, (YDIM, XDIM))
+    d = rng.uniform(-1.0, -0.2, YDIM)
+    X = np.stack([
+        np.stack([rng.multivariate_normal(np.zeros(T), rbf_block(TAU[k], T, BIN))
+                  for k in range(XDIM)])
+        for _ in range(R)
+    ])
+    Y = rng.poisson(np.exp(np.einsum("nk,rkt->rnt", C, X) + d[None, :, None])).astype(float)
+    return jnp.asarray(C), jnp.asarray(d), jnp.asarray(TAU), jnp.asarray(Y)
+
+
+def timed(fn, sync, reps=3):
+    out = fn()
+    sync(out)
+    t0 = time.time()
+    for _ in range(reps):
+        out = fn()
+        sync(out)
+    return (time.time() - t0) / reps, out
+
+
+def run_one(T, path):
+    """One (T, path) measurement in this process; prints one line."""
+    C, d, tau, Y = problem(T)
+    if path == "banded":
+        t, out = timed(lambda: laplace_estep_banded(C, d, tau, Y, T, BIN, S),
+                       lambda o: float(np.asarray(o[1])))
+    else:
+        t, out = timed(lambda: laplace_estep_from_arrays(C, d, tau, Y, T, BIN,
+                                                         compute_cov=False),
+                       lambda o: float(np.asarray(o[1])))
+    m0 = float(jnp.asarray(out[0].post_mean[0, 0, :3]).sum())
+    print(f"T={T:5d}  {path:6s}: {t * 1e3:8.1f} ms/E-step  "
+          f"(mode[0,0,:3] sum {m0:+.6f})", flush=True)
+
+
+def main():
+    # Each (T, path) runs in a fresh process: the tunneled chip accumulates
+    # allocator state across big back-to-back programs in one process and
+    # RESOURCE_EXHAUSTEDs well under nominal HBM.
+    import subprocess
+
+    print(f"xdim={XDIM} ydim={YDIM} R={R} block={S} bins of {BIN} ms", flush=True)
+    for T in (250, 500, 1000, 2000, 4000):
+        for path in ("banded", "dense"):
+            if path == "dense" and T > 2000:
+                continue  # (R, (xdim T)^2) f64 covariance exceeds HBM
+            r = subprocess.run(
+                [sys.executable, __file__, str(T), path],
+                capture_output=True, text=True, timeout=2400)
+            line = (r.stdout.strip().splitlines() or ["(no output)"])[-1]
+            if r.returncode != 0:
+                line = f"T={T:5d}  {path:6s}: FAILED ({r.stderr.strip().splitlines()[-1][:120]})"
+            print(line, flush=True)
+
+
+if __name__ == "__main__":
+    if len(sys.argv) == 3:
+        run_one(int(sys.argv[1]), sys.argv[2])
+    else:
+        main()

@@ -83,6 +83,13 @@ def main():
         json.dump(res, f, indent=1)
     print(json.dumps(res), flush=True)
 
+    # Stevenson-scale online-EM 'diag' (batch 10) — the bench's online row
+    print("measuring stevenson online 'diag'...", file=sys.stderr, flush=True)
+    res = _measure(big, 5, "online")
+    with open(os.path.join(REPO, "BASELINE_MEASURED_ONLINE.json"), "w") as f:
+        json.dump(res, f, indent=1)
+    print(json.dumps(res), flush=True)
+
     # Stevenson-scale batch Laplace (the headline denominator) last — longest
     print(f"measuring stevenson laplace x{stevenson_iters}...", file=sys.stderr, flush=True)
     res = _measure(big, stevenson_iters, "laplace")

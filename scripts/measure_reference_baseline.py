@@ -92,6 +92,29 @@ def main():
         }
         if mode == "variational":
             out["var_lower_bound"] = [float(v) for v in fit.variationalLowerBound]
+    elif mode == "online":
+        # online-EM 'diag' rule, batch of 10 trials (reference engine.py:243-450)
+        t0 = time.time()
+        fit = engine.PPGPFAfit(
+            experiment=exp,
+            initParams=init,
+            inferenceMethod="laplace",
+            EMmode="Online",
+            batchSize=10,
+            onlineParamUpdateMethod="diag",
+            maxEMiter=n_iters,
+        )
+        elapsed = time.time() - t0
+        out = {
+            "mode": mode,
+            "sec_per_iter": elapsed / n_iters,
+            "total_sec": elapsed,
+            "n_iters": n_iters,
+            "batch_size": 10,
+            "update_rule": "diag",
+            "post_loglik": [float(v) for v in fit.posteriorLikelihood],
+            "shape": list(Y.shape),
+        }
     elif mode == "mcmc":
         import funs.mcmc as mcmc  # noqa: E402
 
