@@ -32,9 +32,13 @@ def problem(T, seed=0):
 
     C = rng.uniform(-0.4, 0.4, (YDIM, XDIM))
     d = rng.uniform(-1.0, -0.2, YDIM)
+    # one Cholesky per latent, reused across trials (multivariate_normal
+    # refactors the TxT kernel per draw — minutes at T=4000)
+    import scipy.linalg as sla
+
+    Ls = [sla.cholesky(rbf_block(TAU[k], T, BIN), lower=True) for k in range(XDIM)]
     X = np.stack([
-        np.stack([rng.multivariate_normal(np.zeros(T), rbf_block(TAU[k], T, BIN))
-                  for k in range(XDIM)])
+        np.stack([Ls[k] @ rng.standard_normal(T) for k in range(XDIM)])
         for _ in range(R)
     ])
     Y = rng.poisson(np.exp(np.einsum("nk,rkt->rnt", C, X) + d[None, :, None])).astype(float)
