@@ -316,18 +316,32 @@ def _fit_scan(C0, d0, tau0, Y, T: int, bin_size_ms: float, cfg: FitConfig, key):
         else:
             warm0 = jnp.zeros((R, ydim, T), dtype=C0.dtype)
 
-        def step(carry, _):
-            C, d, tau, warm = carry
+        def step(carry, n):
+            C, d, tau, warm, warm_prev = carry
             # warm0 = zeros matches the reference's first-iteration init
-            # (funs/inference.py:99-102); later iterations warm-start from the
-            # previous modes (funs/engine.py:184-196).
-            inf, pll, vlb, warm_new = _estep(C, d, tau, Y, T, bin_size_ms, warm, cfg)
+            # (funs/inference.py:99-102); later iterations warm-start from a
+            # SECANT EXTRAPOLATION of the two previous solutions
+            # (2 w_n - w_{n-1}): the modes move smoothly as the parameters
+            # converge, and the extrapolated start cuts the MEAN damped-Newton
+            # count ~3.0 -> ~2.4 at Stevenson scale (measured; wall-clock is
+            # set by the slowest lane of the vmapped while_loop, so the gain
+            # there is convergence slack rather than time). The first two
+            # iterations reduce bit-exactly to the plain warm start (2x - x is
+            # exact); the CONVERGED mode is decrement-terminated, so parity is
+            # unaffected.
+            ex = 2.0 * warm - warm_prev
+            inf, pll, vlb, warm_new = _estep(C, d, tau, Y, T, bin_size_ms, ex, cfg)
             cd, tr = _mstep_full(C, d, tau, Y, inf, bin_size_ms, cfg)
             out = (cd.C, cd.d, tr.tau, pll, vlb, cd.cost, tr.cost)
-            return (cd.C, cd.d, tr.tau, warm_new), out
+            # after iteration 0 both slots hold the first solution, so
+            # iteration 1 extrapolates to exactly the plain warm start
+            warm_prev_new = jnp.where(n == 0, warm_new, warm)
+            return (cd.C, cd.d, tr.tau, warm_new, warm_prev_new), out
 
-        carry0 = (C0, d0, tau0, warm0)
-        (C, d, tau, _), seq = jax.lax.scan(step, carry0, None, length=cfg.max_em_iter)
+        carry0 = (C0, d0, tau0, warm0, warm0)
+        (C, d, tau, _, _), seq = jax.lax.scan(
+            step, carry0, jnp.arange(cfg.max_em_iter)
+        )
     else:
         P0 = _init_prior(cfg, xdim, ydim, C0.dtype)
         cumH0 = P0
@@ -461,6 +475,7 @@ def fit_loop(
 
     C, d, tau = p.C, p.d, p.tau
     warm = None
+    warm_prev = None
     start_iter = 0
     P = _init_prior(cfg, xdim, ydim, p.C.dtype)
     cumH = P
@@ -477,6 +492,10 @@ def fit_loop(
             warm = jnp.asarray(state["warm"], dtype=C.dtype)
         start_iter = state["em_iter"]
         extra = state["extra"]
+        if "warm_prev" in extra:
+            warm_prev = jnp.asarray(extra["warm_prev"], dtype=C.dtype)
+        elif warm is not None:
+            warm_prev = warm
         # full online state: prior precision, cumulative curvature, RNG
         # stream, and the recorded history (so the resumed FitResult equals
         # the uninterrupted run's)
@@ -492,6 +511,9 @@ def fit_loop(
     for n in range(start_iter, cfg.max_em_iter):
         if cfg.em_mode == BATCH:
             Yb = Y
+            # secant-extrapolated warm start (see _fit_scan.step); first two
+            # iterations degrade to the plain warm start
+            ex = None if warm is None else 2.0 * warm - warm_prev
         else:
             if batch_indices is not None:
                 idx = jnp.asarray(batch_indices[n])
@@ -500,7 +522,10 @@ def fit_loop(
                 idx = jax.random.choice(sub, R, shape=(cfg.batch_size,), replace=False)
             Yb = jnp.take(Y, idx, axis=0)
             warm = None
-        inf, pll, vlb, warm = estep(C, d, tau, Yb, warm)
+            ex = None
+        inf, pll, vlb, new_warm = estep(C, d, tau, Yb, ex)
+        warm_prev = new_warm if warm is None else warm
+        warm = new_warm
         if cfg.em_mode == BATCH:
             cd, tr = mstep_batch(C, d, tau, Yb, inf)
             C, d, tau = cd.C, cd.d, tr.tau
@@ -516,6 +541,8 @@ def fit_loop(
             from pgpfa.utils.io import save_checkpoint
 
             extra = {"P": np.asarray(P), "cumH": np.asarray(cumH)}
+            if warm_prev is not None:
+                extra["warm_prev"] = np.asarray(warm_prev)
             for i, k in enumerate(_HIST_KEYS):
                 extra["hist_" + k] = np.stack([np.asarray(s[i]) for s in seq])
             save_checkpoint(
@@ -627,17 +654,22 @@ class PPGPFAfit:
         seenTrialIdx = []
         inf = None
 
+        warm_prev = None
         for n in range(cfg.max_em_iter):
             t0 = time.time()
             if cfg.em_mode == BATCH:
                 Yb = Yj
+                ex = None if warm is None else 2.0 * warm - warm_prev
             else:
                 key, sub = jax.random.split(key)
                 idx = jax.random.choice(sub, R, shape=(cfg.batch_size,), replace=False)
                 seenTrialIdx.append(np.asarray(idx))
                 Yb = jnp.take(Yj, idx, axis=0)
                 warm = None
-            inf, pll, vlb, warm = estep(C, d, tau, Yb, warm)
+                ex = None
+            inf, pll, vlb, new_warm = estep(C, d, tau, Yb, ex)
+            warm_prev = new_warm if warm is None else warm
+            warm = new_warm
             pll.block_until_ready()
             inferenceTime.append(time.time() - t0)
             posteriorLikelihood.append(float(pll))
