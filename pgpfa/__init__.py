@@ -39,10 +39,31 @@ _jax.config.update("jax_default_matmul_precision", "highest")
 # + L-BFGS + scan) and TPU compiles run minutes; caching makes that a one-time
 # cost per (shape, config). Opt out with PGPFA_COMPILE_CACHE=0 or point
 # PGPFA_COMPILE_CACHE_DIR elsewhere.
+
+
+def _machine_tag():
+    """Fingerprint the host CPU's feature flags. XLA:CPU AOT executables
+    cached on a host with different vector-unit features load with SIGILL
+    warnings and can differ in rounding (observed as a 1-ULP fused-vs-loop
+    flake) — keying the cache by CPU features makes cross-machine reuse
+    impossible while identical fleet machines still share everything."""
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith("flags"):
+                    import hashlib
+
+                    return hashlib.md5(line.encode()).hexdigest()[:10]
+    except OSError:
+        pass
+    return "generic"
+
+
 if _os.environ.get("PGPFA_COMPILE_CACHE", "1") != "0":
     _cache_dir = _os.environ.get(
         "PGPFA_COMPILE_CACHE_DIR",
-        _os.path.join(_os.path.expanduser("~"), ".cache", "pgpfa", "jax"),
+        _os.path.join(_os.path.expanduser("~"), ".cache", "pgpfa",
+                      "jax-" + _machine_tag()),
     )
     try:
         _os.makedirs(_cache_dir, exist_ok=True)
