@@ -56,6 +56,8 @@ class BandedInfRes(NamedTuple):
     vsm_gp_diag: jnp.ndarray  # (R, xdim, nb, s, s)
     vsm_gp_off: jnp.ndarray  # (R, xdim, nb-1, s, s)  [block (i+1, i)]
     trial_obj: jnp.ndarray  # (R,)
+    grad_norm: jnp.ndarray  # (R,) objective-gradient inf-norm at the mode
+    # (convergence diagnostic for the fixed-iteration banded Newton)
 
     def vsm_gp_dense(self):
         """Materialize the banded temporal covariance as (R, xdim, T, T)
@@ -210,7 +212,8 @@ def laplace_estep_banded(
         (Xb, f), _ = jax.lax.scan(body, (Xb0, f0), None, length=maxiter)
 
         # posterior moments at the mode: H^{-1} = A Sig^M A^T
-        _, _, expA = obj_grad(Xb, Y_tr)
+        _, Gb_final, expA = obj_grad(Xb, Y_tr)
+        gnorm = jnp.max(jnp.abs(Gb_final))
         Md, Mb = build_M(expA)
         facM = btd_factor(Md, Mb)
         sel = btd_selected_inverse(facM)
@@ -237,11 +240,12 @@ def laplace_estep_banded(
         Ho4 = Ho.reshape(nb - 1, s, xdim, s, xdim)
         gp_off = jnp.einsum("ntkuk->kntu", Ho4)  # (xdim, nb-1, s, s)
 
-        return _from_blocks(Xb, xdim), f, vsm, gp_diag, gp_off
+        return _from_blocks(Xb, xdim), f, vsm, gp_diag, gp_off, gnorm
 
-    X, obj, vsm, gpd, gpo = jax.vmap(newton_trial)(Y, x_init)
+    X, obj, vsm, gpd, gpo, gn = jax.vmap(newton_trial)(Y, x_init)
     res = BandedInfRes(
         post_mean=X, post_vsm=vsm, vsm_gp_diag=gpd, vsm_gp_off=gpo, trial_obj=obj,
+        grad_norm=gn,
     )
     return res, -jnp.mean(obj)
 

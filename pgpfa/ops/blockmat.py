@@ -210,6 +210,36 @@ def _logdet_series(A):
     return -(tr1 + tr2 / 2.0 + tr3 / 3.0 + tr4 / 4.0)
 
 
+@jax.custom_jvp
+def inv_logdet_psd_mixed_d(H):
+    """:func:`inv_logdet_psd_mixed` with EXACT derivative rules.
+
+    Autodiff through the mixed-precision internals (f32 Cholesky +
+    Newton-Schulz refinement) would carry f32-grade tangent noise and an
+    unnecessarily deep backward graph. Since the primal output is the exact
+    inverse/logdet to ~1e-12, the calculus of the EXACT quantities applies::
+
+        d(H^{-1}) = -H^{-1} dH H^{-1},      d(logdet H) = <H^{-1}, dH>
+
+    Both rules are linear in ``dH``, so JAX transposes them automatically —
+    one wrapper gives f64-accurate forward AND reverse mode. This is what
+    makes the block-tridiagonal factorization (``pgpfa/ops/blocktridiag.py``)
+    differentiable end-to-end: the banded tau M-step takes ``jax.grad``
+    straight through ``btd_factor``/``btd_solve``/``btd_selected_inverse``.
+    """
+    return inv_logdet_psd_mixed(H)
+
+
+@inv_logdet_psd_mixed_d.defjvp
+def _inv_logdet_psd_mixed_d_jvp(primals, tangents):
+    (H,) = primals
+    (dH,) = tangents
+    hi = jax.lax.Precision.HIGHEST
+    X, ld = inv_logdet_psd_mixed_d(H)
+    dX = -jnp.matmul(jnp.matmul(X, dH, precision=hi), X, precision=hi)
+    return (X, ld), (dX, jnp.vdot(X, dH))
+
+
 def inv_logdet_psd_mixed(H, ns_steps: int = 3, f64_steps: int = 1):
     """``(H^{-1}, logdet H)`` sharing one f32 Cholesky factorization.
 

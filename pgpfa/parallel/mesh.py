@@ -11,14 +11,17 @@ model family (no layer stack, no MoE; SURVEY.md §2.3) — the latent axis is
 block-diagonal in the prior but densely coupled through the observation
 Hessian, so latents cannot shard the E-step.
 
-The time axis (the SP/CP slot) scales WITHIN a chip: ``FitConfig(time_block)``
-switches the E-step to block-tridiagonal banded algebra with O(T) time/memory
-(``pgpfa/ops/blocktridiag.py``), so a long trial never materializes dense
-``(xdim*T)^2`` state; trials remain the cross-chip axis. Composing both is
-exercised by ``__graft_entry__.dryrun_multichip``. (A cross-chip time axis
-would need a parallel-in-time factorization — cyclic reduction over the mesh —
-which the sequential Schur recursion deliberately avoids; at the reference's
-problem sizes the trial axis is the one that grows into multi-chip territory.)
+The time axis (the SP/CP slot) scales two ways: WITHIN a chip,
+``FitConfig(time_block)`` switches the E-step to block-tridiagonal banded
+algebra with O(T) time/memory (``pgpfa/ops/blocktridiag.py``), so a long
+trial never materializes dense ``(xdim*T)^2`` state; ACROSS chips, the
+block-cyclic-reduction solve (``btd_solve_cr``, O(log T) depth) shards the
+time-block axis over a 2-D ``(trials, time)`` mesh
+(``pgpfa/parallel/timeshard.py``; sharded == single-device pinned by
+``tests/test_parallel.py``). At the reference's problem sizes the trial axis
+is still the one that grows into multi-chip territory, so trial DP remains
+the default; the time axis is there for the single-very-long-trial regime.
+Composing both is exercised by ``__graft_entry__.dryrun_multichip``.
 """
 
 from __future__ import annotations

@@ -1,9 +1,14 @@
-"""Long-trial scaling benchmark: banded (block-tridiagonal) vs dense E-step
-wall time as T grows (the reference's T-scaling wall is the dense
-(xdim*T)^2/3 Hessian work; the banded path is O(T s^2) time, O(T s) memory).
+"""Long-trial scaling benchmark: banded (block-tridiagonal) vs dense FULL EM
+iteration (E-step + both M-steps) wall time as T grows. The reference's
+T-scaling wall is the dense (xdim*T)^2/3 Hessian work in the E-step AND the
+dense (T, T) logdet/solve work in the tau M-step (funs/learning.py:175-255);
+the banded path is O(T s^2) time / O(T s) memory END-TO-END — the tau M-step
+runs on the banded moments directly (pgpfa/learn/mstep_gp.py:tau_cost_banded)
+and the (xdim, T, T) PautoSum is never materialized.
 
-Prints one line per (T, path) with seconds per E-step on the default device,
-plus the banded/dense posterior-mean agreement at each size.
+Prints one line per (T, path) with seconds per EM iteration on the default
+device, plus a posterior-mode checksum at each size. `--estep` restores the
+round-2 E-step-only measurement.
 
 Run: python scripts/bench_longt.py
 """
@@ -55,19 +60,41 @@ def timed(fn, sync, reps=3):
     return (time.time() - t0) / reps, out
 
 
-def run_one(T, path):
+def run_one(T, path, estep_only=False):
     """One (T, path) measurement in this process; prints one line."""
+    from pgpfa.em.fit import FitConfig, _estep, _learn_tau_from_inf
+    from pgpfa.learn.mstep_obs import learn_cd
+
     C, d, tau, Y = problem(T)
-    if path == "banded":
-        t, out = timed(lambda: laplace_estep_banded(C, d, tau, Y, T, BIN, S),
-                       lambda o: float(np.asarray(o[1])))
-    else:
-        t, out = timed(lambda: laplace_estep_from_arrays(C, d, tau, Y, T, BIN,
-                                                         compute_cov=False),
-                       lambda o: float(np.asarray(o[1])))
-    m0 = float(jnp.asarray(out[0].post_mean[0, 0, :3]).sum())
-    print(f"T={T:5d}  {path:6s}: {t * 1e3:8.1f} ms/E-step  "
-          f"(mode[0,0,:3] sum {m0:+.6f})", flush=True)
+    cfg = FitConfig(time_block=S if path == "banded" else None)
+
+    if estep_only:
+        if path == "banded":
+            t, out = timed(lambda: laplace_estep_banded(C, d, tau, Y, T, BIN, S),
+                           lambda o: float(np.asarray(o[1])))
+        else:
+            t, out = timed(lambda: laplace_estep_from_arrays(C, d, tau, Y, T, BIN,
+                                                             compute_cov=False),
+                           lambda o: float(np.asarray(o[1])))
+        m0 = float(jnp.asarray(out[0].post_mean[0, 0, :3]).sum())
+        print(f"T={T:5d}  {path:6s}: {t * 1e3:8.1f} ms/E-step  "
+              f"(mode[0,0,:3] sum {m0:+.6f})", flush=True)
+        return
+
+    @jax.jit
+    def em_iter(C, d, tau, Y):
+        inf, pll, _, _ = _estep(C, d, tau, Y, T, BIN, None, cfg)
+        cd = learn_cd(Y, inf.post_mean, inf.post_vsm, C, d,
+                      maxiter=cfg.cd_newton_iters, tol=cfg.cd_tol)
+        tr = _learn_tau_from_inf(inf, tau, BIN, cfg)
+        # scalar readbacks only (tunnel rule: CLAUDE.md item 8)
+        return pll, jnp.sum(cd.C), tr.tau, jnp.sum(inf.post_mean[0, 0, :3])
+
+    t, out = timed(lambda: em_iter(C, d, tau, Y),
+                   lambda o: float(np.asarray(o[0])))
+    print(f"T={T:5d}  {path:6s}: {t * 1e3:8.1f} ms/EM-iter  "
+          f"(tau {np.asarray(out[2]).round(4)}, mode checksum {float(out[3]):+.6f})",
+          flush=True)
 
 
 def main():
@@ -76,13 +103,18 @@ def main():
     # RESOURCE_EXHAUSTEDs well under nominal HBM.
     import subprocess
 
-    print(f"xdim={XDIM} ydim={YDIM} R={R} block={S} bins of {BIN} ms", flush=True)
-    for T in (250, 500, 1000, 2000, 4000):
+    estep_flag = ["--estep"] if "--estep" in sys.argv else []
+    unit = "E-step" if estep_flag else "full EM iteration"
+    print(f"xdim={XDIM} ydim={YDIM} R={R} block={S} bins of {BIN} ms ({unit})",
+          flush=True)
+    for T in (250, 500, 1000, 2000, 4000, 8000):
         for path in ("banded", "dense"):
             if path == "dense" and T > 2000:
                 continue  # (R, (xdim T)^2) f64 covariance exceeds HBM
+            if T > 4000 and estep_flag:
+                continue
             r = subprocess.run(
-                [sys.executable, __file__, str(T), path],
+                [sys.executable, __file__, str(T), path] + estep_flag,
                 capture_output=True, text=True, timeout=2400)
             line = (r.stdout.strip().splitlines() or ["(no output)"])[-1]
             if r.returncode != 0:
@@ -91,7 +123,7 @@ def main():
 
 
 if __name__ == "__main__":
-    if len(sys.argv) == 3:
-        run_one(int(sys.argv[1]), sys.argv[2])
+    if len(sys.argv) >= 3 and not sys.argv[1].startswith("-"):
+        run_one(int(sys.argv[1]), sys.argv[2], estep_only="--estep" in sys.argv)
     else:
         main()

@@ -93,7 +93,24 @@ def main():
         if mode == "variational":
             out["var_lower_bound"] = [float(v) for v in fit.variationalLowerBound]
     elif mode == "online":
-        # online-EM 'diag' rule, batch of 10 trials (reference engine.py:243-450)
+        # online-EM 'diag' rule, batch of 10 trials (reference engine.py:243-450).
+        # The reference draws minibatches inside util.subsampleTrials and does
+        # NOT store the stream; wrap it (measurement instrumentation, not a
+        # code change) so the per-iteration batchTrIdx can be replayed through
+        # pgpfa's fit_loop(batch_indices=...) for trajectory parity against
+        # the ACTUAL reference semantics (VERDICT round-2 directive 2).
+        seen_idx = []
+        orig_subsample = engine.util.subsampleTrials
+
+        def recording_subsample(experiment, batchSize):
+            sub = orig_subsample(experiment, batchSize)
+            seen_idx.append([int(i) for i in sub.batchTrIdx])
+            return sub
+
+        # patch the module object engine actually holds (it does a top-level
+        # `import util` from /root/reference/funs)
+        engine.util.subsampleTrials = recording_subsample
+        np.random.seed(0)
         t0 = time.time()
         fit = engine.PPGPFAfit(
             experiment=exp,
@@ -112,7 +129,9 @@ def main():
             "n_iters": n_iters,
             "batch_size": 10,
             "update_rule": "diag",
+            "numpy_seed": 0,
             "post_loglik": [float(v) for v in fit.posteriorLikelihood],
+            "batch_indices": seen_idx,
             "shape": list(Y.shape),
         }
     elif mode == "mcmc":

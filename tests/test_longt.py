@@ -75,6 +75,61 @@ def test_banded_tau_mstep_matches_dense(problem):
     np.testing.assert_allclose(np.asarray(tr_b.tau), np.asarray(tr_d.tau), atol=1e-6)
 
 
+def test_banded_tau_mstep_linear_path(problem):
+    """The O(T s^2) banded tau M-step (never materializes (xdim, T, T)):
+    cost, exact-autodiff gradient and optimum all match the dense M-step
+    (VERDICT round-2 directive 1)."""
+    import jax
+
+    from pgpfa.learn.mstep_gp import (
+        learn_tau_banded,
+        tau_cost,
+        tau_cost_banded,
+        tau_grad,
+        tau_to_log_gamma,
+    )
+    from pgpfa.models.params import time_sqdist
+
+    p = problem
+    R, s = p["Y"].shape[0], p["s"]
+    args = (jnp.asarray(p["C"]), jnp.asarray(p["d"]), jnp.asarray(p["tau"]),
+            jnp.asarray(p["Y"]), p["T"], p["bin_ms"])
+    dense, _ = laplace_estep_from_arrays(*args)
+    band, _ = laplace_estep_banded(*args, block_size=s)
+
+    ps_band = pauto_sum_banded(band)
+    dif_sq = time_sqdist(p["T"])
+    pg = tau_to_log_gamma(jnp.asarray(p["tau"]), p["bin_ms"])
+    means_blk = band.post_mean.reshape(R, 2, p["T"] // s, s)
+    Vd = jnp.sum(band.vsm_gp_diag, axis=0)
+    Vo = jnp.sum(band.vsm_gp_off, axis=0)
+    for k in range(2):
+        # banded cost == dense cost on the same banded moments (truncation ~1e-8)
+        cd = float(tau_cost(pg[k], ps_band[k], R, dif_sq))
+        cb = float(tau_cost_banded(pg[k], means_blk[:, k], Vd[k], Vo[k], R))
+        assert abs(cd - cb) < 1e-6
+        # jax.grad through the custom-JVP block factorization is f64-exact:
+        # matches the dense ANALYTIC trace-identity gradient
+        ga = float(jax.grad(tau_cost_banded)(
+            pg[k], means_blk[:, k], Vd[k], Vo[k], float(R)))
+        gd = float(tau_grad(pg[k], ps_band[k], float(R), dif_sq))
+        assert abs(ga - gd) < 1e-5 * max(1.0, abs(gd))
+
+    # optimum parity vs the dense M-step on the dense moments
+    tr_d = learn_tau(dense.post_mean, dense.post_vsm_gp, jnp.asarray(p["tau"]), p["bin_ms"])
+    tr_b = learn_tau_banded(band.post_mean, band.vsm_gp_diag, band.vsm_gp_off,
+                            jnp.asarray(p["tau"]), p["bin_ms"])
+    np.testing.assert_allclose(np.asarray(tr_b.tau), np.asarray(tr_d.tau), atol=1e-6)
+
+    # with a proximal prior (online EM) the two paths also agree
+    prior = (jnp.asarray(p["tau"]) * 1.2, 0.05)
+    tr_dp = learn_tau(dense.post_mean, dense.post_vsm_gp, jnp.asarray(p["tau"]),
+                      p["bin_ms"], prior=prior)
+    tr_bp = learn_tau_banded(band.post_mean, band.vsm_gp_diag, band.vsm_gp_off,
+                             jnp.asarray(p["tau"]), p["bin_ms"], prior=prior)
+    np.testing.assert_allclose(np.asarray(tr_bp.tau), np.asarray(tr_dp.tau), atol=1e-6)
+
+
 def test_banded_fit_trajectory_matches_dense(problem):
     """Whole-EM parity: banded vs dense path over 3 iterations."""
     p = problem
@@ -88,6 +143,24 @@ def test_banded_fit_trajectory_matches_dense(problem):
                                np.asarray(dense.tau_seq), atol=1e-6)
     np.testing.assert_allclose(np.asarray(band.C_seq),
                                np.asarray(dense.C_seq), atol=1e-5)
+
+
+@pytest.mark.parametrize("nb", [5, 7, 8])
+def test_cyclic_reduction_solve_exact(nb):
+    """Block cyclic reduction (the O(log T)-depth, cross-chip-shardable
+    solve) == the sequential Schur factorization, including non-power-of-two
+    block counts (handled by decoupled identity padding)."""
+    from pgpfa.ops.blocktridiag import btd_factor, btd_solve, btd_solve_cr
+
+    rng = np.random.default_rng(nb)
+    m = 5
+    Ds = rng.standard_normal((nb, m, m))
+    D = jnp.asarray(np.einsum("nij,nkj->nik", Ds, Ds) + 4 * m * np.eye(m))
+    B = jnp.asarray(0.4 * rng.standard_normal((nb - 1, m, m)))
+    rhs = jnp.asarray(rng.standard_normal((nb, m, 3)))
+    want = btd_solve(btd_factor(D, B), rhs)
+    got = btd_solve_cr(D, B, rhs)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-11)
 
 
 def test_long_trial_T1000():
@@ -114,3 +187,22 @@ def test_long_trial_T1000():
     assert np.isfinite(pll).all()
     assert pll[1] >= pll[0] - 1e-6  # EM improves
     assert np.all(np.asarray(res.tau) > 0)
+
+    # large-T self-consistency (VERDICT round-2 directive 8): at the fitted
+    # params, (a) the fixed-iteration banded Newton actually converges — the
+    # objective gradient at the returned mode is at its noise floor — and
+    # (b) block size s and 2s give the same mode (the banding truncation is
+    # below signal scale).
+    args = (jnp.asarray(np.asarray(res.C)), jnp.asarray(np.asarray(res.d)),
+            jnp.asarray(np.asarray(res.tau)), jnp.asarray(Y), T, bin_ms)
+    inf_s, pll_s = laplace_estep_banded(*args, block_size=50)
+    gn = np.asarray(inf_s.grad_norm)
+    # gradient scale: the cold objective gradient is O(sum Y) ~ 1e3; 1e-6
+    # means ~9 orders of convergence
+    assert gn.max() < 1e-6, gn
+    inf_2s, pll_2s = laplace_estep_banded(*args, block_size=100)
+    # |pll| ~ 7e3 here; the doubled band changes it at the truncation level
+    # (measured 2.5e-11 relative)
+    np.testing.assert_allclose(float(pll_2s), float(pll_s), rtol=1e-9)
+    np.testing.assert_allclose(np.asarray(inf_2s.post_mean),
+                               np.asarray(inf_s.post_mean), atol=1e-6)

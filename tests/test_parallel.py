@@ -41,6 +41,30 @@ def test_sharded_fit_matches_single_device(data):
     np.testing.assert_allclose(np.asarray(sharded.tau), np.asarray(single.tau), atol=1e-8)
 
 
+def test_time_sharded_cr_solve_matches_single():
+    """Cross-chip TIME axis (the survey's ring-attention-shaped SP slot):
+    the block-cyclic-reduction solve with the time-block axis sharded over a
+    2-D (trials, time) mesh equals the single-device sequential solve."""
+    from pgpfa.ops.blocktridiag import btd_factor, btd_solve, btd_solve_cr
+    from pgpfa.parallel.timeshard import btd_solve_cr_timesharded, make_mesh_2d
+
+    rng = np.random.default_rng(7)
+    R, nb, m = 2, 16, 4
+    Ds = rng.standard_normal((R, nb, m, m))
+    D = jnp.asarray(np.einsum("rnij,rnkj->rnik", Ds, Ds) + 4 * m * np.eye(m))
+    B = jnp.asarray(0.4 * rng.standard_normal((R, nb - 1, m, m)))
+    rhs = jnp.asarray(rng.standard_normal((R, nb, m, 2)))
+
+    single = jax.vmap(lambda d, b, r: btd_solve(btd_factor(d, b), r))(D, B, rhs)
+    single_cr = jax.vmap(btd_solve_cr)(D, B, rhs)
+    np.testing.assert_allclose(np.asarray(single_cr), np.asarray(single), atol=1e-11)
+
+    mesh = make_mesh_2d(n_trial=2)  # 2 x 4 over the 8 virtual devices
+    assert mesh.devices.shape == (2, 4)
+    sharded = btd_solve_cr_timesharded(D, B, rhs, mesh)
+    np.testing.assert_allclose(np.asarray(sharded), np.asarray(single), atol=1e-11)
+
+
 def test_shard_map_estep_stats_match(data):
     """Explicit psum-reduced sufficient statistics == single-device values."""
     train, init = data
