@@ -305,25 +305,44 @@ def _phase_flops(ds, init, cfg):
 
 def f32_line(file=sys.stderr):
     """Time the f32 fast mode on the headline workload (subprocess: x64 is a
-    process-global flag)."""
+    process-global flag). Tries the fused whole-EM scan first — in f32 the
+    per-phase host dispatches through the tunnel are a far larger fraction of
+    the iteration than in f64, so the fused program is where the fast mode's
+    headroom lives — and reports f32 MFU from XLA's flop count."""
     script = (
         "import os, json, time, sys\n"
         "os.environ['PGPFA_X64'] = '0'\n"
         f"sys.path.insert(0, {REPO!r})\n"
         "import numpy as np\n"
-        "from bench import build_problem, BENCH_ITERS\n"
-        "from pgpfa.em.fit import FitConfig, fit_loop\n"
+        "from bench import build_problem, BENCH_ITERS, V5E_BF16_PEAK, _phase_flops\n"
+        "from pgpfa.em.fit import FitConfig, fit, fit_loop\n"
         "ds, init = build_problem()\n"
         "cfg = FitConfig(max_em_iter=BENCH_ITERS)\n"
-        "res = fit_loop(init, ds.Y, ds.binSize, cfg)\n"
-        "float(np.asarray(res.post_loglik)[-1])\n"
+        "path = 'fused'\n"
+        "try:\n"
+        "    run = fit\n"
+        "    res = run(init, ds.Y, ds.binSize, cfg)\n"
+        "    float(np.asarray(res.post_loglik)[-1])\n"
+        "except Exception:\n"
+        "    path = 'host-loop'\n"
+        "    run = fit_loop\n"
+        "    res = run(init, ds.Y, ds.binSize, cfg)\n"
+        "    float(np.asarray(res.post_loglik)[-1])\n"
         "t0 = time.time()\n"
-        "res = fit_loop(init, ds.Y, ds.binSize, cfg)\n"
+        "res = run(init, ds.Y, ds.binSize, cfg)\n"
         "float(np.asarray(res.post_loglik)[-1])\n"
         "dt = time.time() - t0\n"
-        "print(json.dumps({'metric': 'batch Laplace-EM f32 fast mode (same workload)',\n"
-        "                  'value': round(BENCH_ITERS / dt, 4), 'unit': 'EM iters/sec',\n"
-        "                  'final_pll': float(np.asarray(res.post_loglik)[-1])}))\n"
+        "rec = {'metric': 'batch Laplace-EM f32 fast mode (same workload)',\n"
+        "       'value': round(BENCH_ITERS / dt, 4), 'unit': 'EM iters/sec',\n"
+        "       'path': path,\n"
+        "       'final_pll': float(np.asarray(res.post_loglik)[-1])}\n"
+        "try:\n"
+        "    fl = _phase_flops(ds, init, cfg)\n"
+        "    if fl:\n"
+        "        rec['mfu_pct'] = round(100.0 * fl / (dt / BENCH_ITERS) / V5E_BF16_PEAK, 3)\n"
+        "except Exception as e:\n"
+        "    rec['mfu_error'] = str(e)[:120]\n"
+        "print(json.dumps(rec))\n"
     )
     out = subprocess.run([sys.executable, "-c", script], capture_output=True, text=True)
     line = out.stdout.strip().splitlines()[-1] if out.stdout.strip() else json.dumps(
@@ -346,7 +365,7 @@ def secondary_configs(file=sys.stderr, iters: int = 10):
 
     def emit(rec):
         records.append(rec)
-        emit(rec)
+        print(json.dumps(rec), file=file)
 
     import pgpfa
     from pgpfa.em.fit import FitConfig, fit_loop

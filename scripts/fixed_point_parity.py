@@ -1,0 +1,117 @@
+"""Converged-value (fixed-point) parity vs the exact oracle at Stevenson scale.
+
+The parity POLICY (SURVEY.md §7) is agreement of converged objective values —
+trajectory iterates are chaotic (CLAUDE.md item 11). Trajectory profiles show
+the |ΔnPLL| gap plateauing at ~1.5e-4; this script supplies the statistic
+that separates "different fixed points" from "slow convergence":
+
+1. run OUR fit long (default 300 EM iterations, TPU-fast) → params θ*;
+   report the tail |ΔnPLL| per iteration (near-stationarity of our run);
+2. evaluate the EXACT NumPy/SciPy oracle's E-step at θ* → nPLL_oracle(θ*):
+   |nPLL_ours(θ*) − nPLL_oracle(θ*)| is pure EVALUATION parity at the fixed
+   point (no optimizer in the loop);
+3. apply ONE oracle EM step from θ* → θ'_oracle: if the oracle's EM map
+   moves the objective by no more than our own tail movement, the two
+   implementations share the fixed point to that resolution.
+
+Writes FIXED_POINT_PARITY.json. Stage 1 needs the TPU (~3 min); stages 2-3
+are one oracle iteration on CPU (~10-20 min).
+
+Usage:
+    python scripts/fixed_point_parity.py fit      # TPU: run ours, save state
+    python scripts/fixed_point_parity.py oracle   # CPU: oracle one-step test
+"""
+
+import json
+import os
+import sys
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+STATE = os.path.join(REPO, "FIXED_POINT_STATE.npz")
+OUT = os.path.join(REPO, "FIXED_POINT_PARITY.json")
+N_ITER = 300
+
+
+def stage_fit():
+    from bench import build_problem
+    from pgpfa.em.fit import FitConfig, fit, fit_loop
+
+    ds, init = build_problem()
+    cfg = FitConfig(max_em_iter=N_ITER)
+    try:
+        res = fit(init, ds.Y, ds.binSize, cfg)
+        float(np.asarray(res.post_loglik)[-1])
+    except Exception as e:  # noqa: BLE001
+        print(f"fused failed ({type(e).__name__}); host loop", file=sys.stderr)
+        res = fit_loop(init, ds.Y, ds.binSize, cfg)
+    pll = np.asarray(res.post_loglik)
+    tail = np.abs(np.diff(pll[-20:]))
+    # OUR E-step nPLL AT theta* itself (res.post_loglik[-1] is the E-step at
+    # the PREVIOUS iterate — the M-step runs after it)
+    import jax.numpy as jnp
+
+    from pgpfa.infer.laplace import laplace_estep_from_arrays
+
+    _, pll_star = laplace_estep_from_arrays(
+        res.C, res.d, res.tau, jnp.asarray(ds.Y, dtype=res.C.dtype),
+        ds.Y.shape[-1], float(ds.binSize), compute_cov=False)
+    np.savez(STATE, C=np.asarray(res.C), d=np.asarray(res.d),
+             tau=np.asarray(res.tau), post_loglik=pll,
+             pll_at_star=float(pll_star))
+    print(json.dumps({
+        "n_iter": N_ITER,
+        "final_pll": float(pll[-1]),
+        "pll_at_theta_star": float(pll_star),
+        "tail_pll_step_max": float(tail.max()),
+        "tail_pll_step_last": float(abs(pll[-1] - pll[-2])),
+    }))
+
+
+def stage_oracle():
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
+    from bench import build_problem
+    from pgpfa.oracle import oracle_np as onp
+
+    ds, _ = build_problem()
+    st = np.load(STATE)
+    C, d, tau = st["C"], st["d"], st["tau"]
+    pll_ours = st["post_loglik"]
+    Y = ds.Y.astype(float)
+
+    # stage 2: evaluation parity at theta* (ours-at-theta* saved by stage 1)
+    pll_star_ours = float(st["pll_at_star"])
+    inf = onp.laplace_infer(Y, C, d, tau, float(ds.binSize))
+    eval_parity = abs(inf["post_loglik"] - pll_star_ours)
+
+    # stage 3: one oracle EM step from theta*
+    hist = onp.em_fit(Y, C, d, tau, float(ds.binSize), n_iter=2)
+    move1 = abs(hist["post_loglik"][1] - hist["post_loglik"][0])
+    tau1 = np.asarray(hist["params"][0]["tau"])
+
+    out = {
+        "desc": ("fixed-point parity at Stevenson scale: ours fit "
+                 f"{int(len(pll_ours))} EM iters (tail |dPLL| "
+                 f"{float(abs(pll_ours[-1]-pll_ours[-2])):.3e}); exact oracle "
+                 "evaluated and stepped from our converged params"),
+        "ours_final_pll": float(pll_ours[-1]),
+        "ours_tail_pll_step": float(abs(pll_ours[-1] - pll_ours[-2])),
+        "eval_parity_at_fixed_point": float(eval_parity),
+        "oracle_one_step_pll_move": float(move1),
+        "oracle_one_step_tau_move_max": float(np.max(np.abs(tau1 - tau))),
+        "n_iter_ours": int(len(pll_ours)),
+    }
+    with open(OUT, "w") as f:
+        json.dump(out, f, indent=1)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    stage = sys.argv[1] if len(sys.argv) > 1 else "fit"
+    {"fit": stage_fit, "oracle": stage_oracle}[stage]()
