@@ -144,7 +144,19 @@ def _newton_solve(Y, X0, C, d, Kinv, weights, gtol, maxiter, max_backtracks=30):
         # carried expA always matches the carried X
         expA_new = jnp.where(accept, expA_t, expA)
         G_new, W_new, L32_new = grad_hess_from(X_new, expA_new)
-        done_new = converged | (jnp.max(jnp.abs(G_new)) <= gtol) | ~accept
+        if f64:
+            stall = jnp.asarray(False)
+        else:
+            # f32 stall cutoff: an accepted step that improves f by less than
+            # the rounding slack means the objective can no longer resolve
+            # progress at this scale — the decrement test alone can sit just
+            # above dec_tol on f32 gradient noise and grind a single trial to
+            # maxiter (observed: one trial x 100 iters x full backtracking =
+            # 2.7 s inside an otherwise 150 ms E-step, triggered by the
+            # secant-extrapolated warm start at EM iteration 2). In f64 the
+            # decrement test is reachable and this never fires.
+            stall = accept & (f - f_try <= slack)
+        done_new = converged | (jnp.max(jnp.abs(G_new)) <= gtol) | ~accept | stall
         # Freeze lanes that converged in an earlier iteration (vmapped
         # while_loop keeps executing the body for every lane until all stop).
         X_out = jnp.where(done, X, X_new)

@@ -38,27 +38,29 @@ N_ITER = 300
 
 def stage_fit():
     from bench import build_problem
-    from pgpfa.em.fit import FitConfig, fit, fit_loop
+    from pgpfa.em.fit import FitConfig, fit_loop
 
     ds, init = build_problem()
     cfg = FitConfig(max_em_iter=N_ITER)
-    try:
-        res = fit(init, ds.Y, ds.binSize, cfg)
-        float(np.asarray(res.post_loglik)[-1])
-    except Exception as e:  # noqa: BLE001
-        print(f"fused failed ({type(e).__name__}); host loop", file=sys.stderr)
-        res = fit_loop(init, ds.Y, ds.binSize, cfg)
+    # host loop, not the fused scan: a single 300-iteration device program
+    # held the tunneled TPU long enough to trip a worker restart when tried;
+    # the host loop syncs every phase and is numerically identical. Timing is
+    # irrelevant here — this is a parity job.
+    res = fit_loop(init, ds.Y, ds.binSize, cfg)
     pll = np.asarray(res.post_loglik)
     tail = np.abs(np.diff(pll[-20:]))
     # OUR E-step nPLL AT theta* itself (res.post_loglik[-1] is the E-step at
     # the PREVIOUS iterate — the M-step runs after it)
+    import jax
     import jax.numpy as jnp
 
     from pgpfa.infer.laplace import laplace_estep_from_arrays
 
-    _, pll_star = laplace_estep_from_arrays(
-        res.C, res.d, res.tau, jnp.asarray(ds.Y, dtype=res.C.dtype),
-        ds.Y.shape[-1], float(ds.binSize), compute_cov=False)
+    T = ds.Y.shape[-1]
+    estep = jax.jit(lambda C, d, tau, Y: laplace_estep_from_arrays(
+        C, d, tau, Y, T, float(ds.binSize), compute_cov=False))
+    _, pll_star = estep(res.C, res.d, res.tau,
+                        jnp.asarray(ds.Y, dtype=res.C.dtype))
     np.savez(STATE, C=np.asarray(res.C), d=np.asarray(res.d),
              tau=np.asarray(res.tau), post_loglik=pll,
              pll_at_star=float(pll_star))
