@@ -104,7 +104,8 @@ class FitConfig:
     eps_noise: float = 0.001
     # long-trial (banded / block-tridiagonal) E-step: time-block size in bins,
     # or None for the dense path. Must divide T and satisfy
-    # time_block * bin >~ 6 * max(tau) (pgpfa/infer/laplace_longt.py).
+    # time_block * bin >~ 6 * max(tau). Works with BOTH inference methods
+    # (pgpfa/infer/laplace_longt.py, pgpfa/infer/variational_longt.py).
     time_block: Optional[int] = None
     banded_newton_iters: int = 12
 
@@ -115,8 +116,6 @@ class FitConfig:
             raise ValueError(f"unknown em_mode {self.em_mode!r}")
         if self.online_update not in ONLINE_UPDATE_METHODS:
             raise ValueError(f"unknown online_update {self.online_update!r}")
-        if self.time_block is not None and self.inference_method != "laplace":
-            raise ValueError("time_block (banded long-T path) requires laplace inference")
 
 
 class FitResult(NamedTuple):
@@ -164,6 +163,16 @@ def _estep(C, d, tau, Y, T, bin_size_ms, warm, cfg: FitConfig, compute_cov: bool
             compute_cov=compute_cov, eps_noise=cfg.eps_noise,
         )
         return inf, pll, jnp.zeros_like(pll), inf.post_mean
+    if cfg.time_block is not None:
+        from pgpfa.infer.variational_longt import vi_estep_banded
+
+        inf, pll, vlb, rho = vi_estep_banded(
+            C, d, tau, Y, T, bin_size_ms, cfg.time_block,
+            rho_init=warm,
+            maxiter=cfg.vi_maxiter if warm is None else cfg.vi_maxiter_warm,
+            eps_noise=cfg.eps_noise,
+        )
+        return inf, pll, vlb, rho
     inf, pll, vlb, rho = vi_estep_from_arrays(
         C, d, tau, Y, T, bin_size_ms,
         rho_init=warm, gtol=cfg.vi_gtol,

@@ -117,6 +117,45 @@ def _apply_At(Gc, yb):
     return yb.at[:-1].add(head)
 
 
+def banded_posterior_views(facM: BTDFactor, Gc, nb: int, s: int, xdim: int):
+    """Posterior second-moment views from the UDL-factored precision.
+
+    With ``H = A^{-T} M A^{-1}`` (``A = I +`` block subdiagonal ``Gc``),
+    ``H^{-1} = A Sig^M A^T``; the in-band blocks of ``H^{-1}`` follow from the
+    Takahashi selected inverse of ``M``. Shared by the banded Laplace E-step
+    and the banded variational E-step (their precisions have identical
+    structure — reference ``funs/inference.py:81-82`` vs ``:188-191``).
+
+    Returns ``(vsm, gp_diag, gp_off)``: per-bin ``(T, xdim, xdim)`` cross-
+    latent covariance and the per-latent banded temporal blocks.
+    """
+    sel = btd_selected_inverse(facM)
+    SD, S1, S2 = sel.diag, sel.off1, sel.off2
+
+    # (H^{-1})_{ii} = SD_i + S1_{i-1} Gc_i^T + Gc_i S1_{i-1}^T + Gc_i SD_{i-1} Gc_i^T
+    t1 = jnp.matmul(S1, jnp.swapaxes(Gc, -1, -2), precision=_HI)  # (nb-1,m,m) at rows 1..
+    t2 = jnp.matmul(Gc, SD[:-1], precision=_HI)
+    t3 = jnp.matmul(t2, jnp.swapaxes(Gc, -1, -2), precision=_HI)
+    Hd = SD.at[1:].add(t1 + jnp.swapaxes(t1, -1, -2) + t3)
+
+    # (H^{-1})_{i+1,i} = Gc_{i+1}(SD_i + S1_{i-1} Gc_i^T) + S2_{i-1} Gc_i^T + S1_i
+    inner = SD[:-1].at[1:].add(t1[:-1])  # SD_i + S1_{i-1} Gc_i^T  (i = 0..nb-2)
+    Ho = jnp.matmul(Gc, inner, precision=_HI) + S1
+    if nb > 2:
+        Ho = Ho.at[1:].add(
+            jnp.matmul(S2, jnp.swapaxes(Gc[:-1], -1, -2), precision=_HI)
+        )
+
+    T = nb * s
+    # views: per-bin xdim x xdim and per-latent banded (s, s) blocks
+    Hd4 = Hd.reshape(nb, s, xdim, s, xdim)
+    vsm = jnp.einsum("ntktl->ntkl", Hd4).reshape(T, xdim, xdim)
+    gp_diag = jnp.einsum("ntkuk->kntu", Hd4)  # (xdim, nb, s, s)
+    Ho4 = Ho.reshape(nb - 1, s, xdim, s, xdim)
+    gp_off = jnp.einsum("ntkuk->kntu", Ho4)  # (xdim, nb-1, s, s)
+    return vsm, gp_diag, gp_off
+
+
 @partial(
     jax.jit,
     static_argnames=("T", "bin_size_ms", "block_size", "maxiter", "eps_noise"),
@@ -216,29 +255,7 @@ def laplace_estep_banded(
         gnorm = jnp.max(jnp.abs(Gb_final))
         Md, Mb = build_M(expA)
         facM = btd_factor(Md, Mb)
-        sel = btd_selected_inverse(facM)
-        SD, S1, S2 = sel.diag, sel.off1, sel.off2
-
-        # (H^{-1})_{ii} = SD_i + S1_{i-1} Gc_i^T + Gc_i S1_{i-1}^T + Gc_i SD_{i-1} Gc_i^T
-        t1 = jnp.matmul(S1, jnp.swapaxes(Gc, -1, -2), precision=_HI)  # (nb-1,m,m) at rows 1..
-        t2 = jnp.matmul(Gc, SD[:-1], precision=_HI)
-        t3 = jnp.matmul(t2, jnp.swapaxes(Gc, -1, -2), precision=_HI)
-        Hd = SD.at[1:].add(t1 + jnp.swapaxes(t1, -1, -2) + t3)
-
-        # (H^{-1})_{i+1,i} = Gc_{i+1}(SD_i + S1_{i-1} Gc_i^T) + S2_{i-1} Gc_i^T + S1_i
-        inner = SD[:-1].at[1:].add(t1[:-1])  # SD_i + S1_{i-1} Gc_i^T  (i = 0..nb-2)
-        Ho = jnp.matmul(Gc, inner, precision=_HI) + S1
-        if nb > 2:
-            Ho = Ho.at[1:].add(
-                jnp.matmul(S2, jnp.swapaxes(Gc[:-1], -1, -2), precision=_HI)
-            )
-
-        # views: per-bin xdim x xdim and per-latent banded (s, s) blocks
-        Hd4 = Hd.reshape(nb, s, xdim, s, xdim)
-        vsm = jnp.einsum("ntktl->ntkl", Hd4).reshape(T, xdim, xdim)
-        gp_diag = jnp.einsum("ntkuk->kntu", Hd4)  # (xdim, nb, s, s)
-        Ho4 = Ho.reshape(nb - 1, s, xdim, s, xdim)
-        gp_off = jnp.einsum("ntkuk->kntu", Ho4)  # (xdim, nb-1, s, s)
+        vsm, gp_diag, gp_off = banded_posterior_views(facM, Gc, nb, s, xdim)
 
         return _from_blocks(Xb, xdim), f, vsm, gp_diag, gp_off, gnorm
 

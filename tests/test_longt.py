@@ -206,3 +206,112 @@ def test_long_trial_T1000():
     np.testing.assert_allclose(float(pll_2s), float(pll_s), rtol=1e-9)
     np.testing.assert_allclose(np.asarray(inf_2s.post_mean),
                                np.asarray(inf_s.post_mean), atol=1e-6)
+
+
+# ------------------------------------------------------------ banded VI
+
+
+def test_banded_vi_dual_cost_matches_dense(problem):
+    """The banded dual objective == the dense dual objective at the SAME rho
+    (every prior-side term banded; truncation ~1e-8). Also checks the
+    gradient, which runs reverse-mode through the block factorization's
+    custom derivative rules."""
+    import jax
+
+    from pgpfa.infer.variational import dual_cost
+    from pgpfa.infer.variational_longt import banded_dual_machinery
+    from pgpfa.models.params import rbf_kernel
+    from pgpfa.ops.blockmat import blocks_inv
+
+    p = problem
+    rng = np.random.default_rng(5)
+    C, d = jnp.asarray(p["C"]), jnp.asarray(p["d"])
+    tau, Y = jnp.asarray(p["tau"]), jnp.asarray(p["Y"])
+    rho = jnp.asarray(0.3 * rng.standard_normal(Y.shape[1:]))
+    K = rbf_kernel(tau, p["T"], p["bin_ms"], 0.001)
+    dense_fn = lambda r: dual_cost(r, Y[0], C, d, K, blocks_inv(K))
+    want = float(dense_fn(rho))
+
+    banded_fn, _, _, _, _ = banded_dual_machinery(
+        C, d, tau, p["T"], p["bin_ms"], p["s"])
+    got = float(banded_fn(rho, Y[0]))
+    assert abs(got - want) < 1e-6 * max(1.0, abs(want))
+
+    g_want = np.asarray(jax.grad(dense_fn)(rho))
+    g_got = np.asarray(jax.grad(lambda r: banded_fn(r, Y[0]))(rho))
+    np.testing.assert_allclose(g_got, g_want, atol=1e-6)
+
+
+def test_banded_vi_estep_matches_dense(problem):
+    """Banded VI E-step == dense VI E-step: converged bound, posterior
+    moments, and the Laplace-objective post_loglik."""
+    from pgpfa.infer.variational import vi_estep_from_arrays
+    from pgpfa.infer.variational_longt import vi_estep_banded
+
+    p = problem
+    args = (jnp.asarray(p["C"]), jnp.asarray(p["d"]), jnp.asarray(p["tau"]),
+            jnp.asarray(p["Y"]), p["T"], p["bin_ms"])
+    dense, pll_d, vlb_d, rho_d = vi_estep_from_arrays(*args, maxiter=120)
+    band, pll_b, vlb_b, rho_b = vi_estep_banded(*args, block_size=p["s"],
+                                                maxiter=120)
+    assert abs(float(vlb_b) - float(vlb_d)) < 1e-5 * max(1.0, abs(float(vlb_d)))
+    assert abs(float(pll_b) - float(pll_d)) < 1e-5
+    np.testing.assert_allclose(np.asarray(band.post_mean),
+                               np.asarray(dense.post_mean), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(band.post_vsm),
+                               np.asarray(dense.post_vsm), atol=1e-6)
+    s = p["s"]
+    gp_dense = np.asarray(band.vsm_gp_dense())
+    ref = np.asarray(dense.post_vsm_gp)
+    for i in range(p["T"] // s):
+        sl = slice(i * s, (i + 1) * s)
+        np.testing.assert_allclose(gp_dense[:, :, sl, sl], ref[:, :, sl, sl],
+                                   atol=1e-6)
+
+
+def test_banded_vi_fit_trajectory_matches_dense(problem):
+    """Whole-EM parity for the VARIATIONAL long-T path (time_block is no
+    longer Laplace-only): banded vs dense VI fit over 3 iterations."""
+    p = problem
+    init = {"C": p["C"] + 0.1, "d": p["d"], "tau": np.array([0.035, 0.035])}
+    dense = fit_loop(init, p["Y"], p["bin_ms"],
+                     FitConfig(max_em_iter=3, inference_method="variational"))
+    band = fit_loop(init, p["Y"], p["bin_ms"],
+                    FitConfig(max_em_iter=3, inference_method="variational",
+                              time_block=p["s"]))
+    np.testing.assert_allclose(np.asarray(band.var_lower_bound),
+                               np.asarray(dense.var_lower_bound),
+                               rtol=0, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(band.post_loglik),
+                               np.asarray(dense.post_loglik), rtol=0, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(band.tau_seq),
+                               np.asarray(dense.tau_seq), atol=1e-4)
+
+
+def test_banded_vi_long_trial_T1000():
+    """A T=1000 VARIATIONAL fit runs through the banded path."""
+    rng = np.random.default_rng(7)
+    xdim, ydim, T, R, bin_ms = 2, 8, 1000, 2, 10.0
+    tau = np.array([0.05, 0.08])
+    C = rng.uniform(-0.4, 0.4, (ydim, xdim))
+    d = rng.uniform(-1.0, -0.2, ydim)
+    from pgpfa.oracle.oracle_np import rbf_block
+
+    X = np.stack([
+        np.stack([rng.multivariate_normal(np.zeros(T), rbf_block(tau[k], T, bin_ms))
+                  for k in range(xdim)])
+        for _ in range(R)
+    ])
+    Y = rng.poisson(np.exp(np.einsum("nk,rkt->rnt", C, X) + d[None, :, None])).astype(float)
+
+    cfg = FitConfig(max_em_iter=2, inference_method="variational",
+                    time_block=50, vi_maxiter=60, vi_maxiter_warm=40)
+    res = fit_loop({"C": C, "d": d, "tau": np.array([0.06, 0.06])}, Y, bin_ms, cfg)
+    vlb = np.asarray(res.var_lower_bound)
+    pll = np.asarray(res.post_loglik)
+    assert np.isfinite(vlb).all()
+    # the EM quality metric is post_loglik (the dual VALUE may legitimately
+    # move up as the model improves — the dense path does the same; parity
+    # with it is pinned at moderate T by the trajectory test above)
+    assert pll[1] >= pll[0] - 1e-6
+    assert np.all(np.asarray(res.tau) > 0)
