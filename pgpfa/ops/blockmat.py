@@ -82,8 +82,17 @@ def solve_psd_structured(W, B, rhs, L32, ir_steps: int = 2) -> jnp.ndarray:
     ``L32`` is the f32 Cholesky of the (f32-assembled) dense ``H``; the f64
     refinement residuals use :func:`structured_mm`, so no dense f64 product
     is ever formed.
+
+    f32 fast mode: refinement is skipped — iterative refinement in the SAME
+    precision as the factorization cannot improve the forward error (the f32
+    residual carries the same 1e-7 rounding it is trying to resolve), so the
+    extra cho_solve + structured_mm per Newton body (~10 ms/body at Stevenson
+    scale on the bench TPU) bought nothing. f64 semantics untouched.
     """
     import jax.scipy.linalg as jsl
+
+    if rhs.dtype != jnp.float64:
+        ir_steps = 0
 
     def coarse(b):
         return jsl.cho_solve((L32, True), b.astype(jnp.float32)).astype(rhs.dtype)
@@ -109,6 +118,16 @@ def inv_psd_structured(W, B, ns_steps: int = 3, f64_steps: int = 1, L32=None):
     hi = jax.lax.Precision.HIGHEST
     dt = B.dtype
     D = B.shape[0] * B.shape[1]
+    if dt != jnp.float64:
+        # f32 fast mode: the factorization's own 1e-7-grade rounding is the
+        # accuracy floor; same-precision Newton-Schulz / residual steps only
+        # add matmul traffic (~12 ms per E-step at Stevenson scale). Return
+        # the symmetrized cho_solve inverse directly.
+        if L32 is None:
+            H32 = assemble_hessian(W, B)
+            L32 = jnp.linalg.cholesky(H32)
+        X = jsl.cho_solve((L32, True), jnp.eye(D, dtype=jnp.float32)).astype(dt)
+        return 0.5 * (X + jnp.swapaxes(X, -1, -2))
     H32 = assemble_hessian(W.astype(jnp.float32), B.astype(jnp.float32))
     if L32 is None:
         L32 = jnp.linalg.cholesky(H32)
@@ -346,6 +365,10 @@ def solve_psd_mixed(H: jnp.ndarray, rhs: jnp.ndarray, L32=None, ir_steps: int = 
 
     if L32 is None:
         L32 = chol32(H)
+    if H.dtype != jnp.float64:
+        # f32: same-precision refinement cannot improve the forward error
+        # (cho_solve is already backward stable); skip the residual passes.
+        ir_steps = 0
 
     def coarse(b):
         return jsl.cho_solve((L32, True), b.astype(jnp.float32)).astype(H.dtype)
@@ -377,6 +400,11 @@ def inv_psd_mixed(H: jnp.ndarray, L32=None, ns_steps: int = 3, f64_steps: int = 
     D = H.shape[-1]
     if L32 is None:
         L32 = chol32(H)
+    if H.dtype != jnp.float64:
+        # f32 fast mode: refinement in the factorization's own precision is a
+        # no-op for forward accuracy — return the symmetrized direct inverse.
+        X = jsl.cho_solve((L32, True), jnp.eye(D, dtype=jnp.float32)).astype(H.dtype)
+        return 0.5 * (X + jnp.swapaxes(X, -1, -2))
     # faithful f32 matmuls: TPU's default f32 matmul precision is bf16-grade,
     # which would floor the refinement at ~1e-3 instead of ~1e-7.
     import jax
