@@ -50,7 +50,7 @@ from pgpfa.ops.blocktridiag import (
     btd_selected_inverse,
     btd_solve,
 )
-from pgpfa.utils.optim import minimize_lbfgs_fixed
+from pgpfa.utils.optim import lbfgs_fixed_init, lbfgs_fixed_steps
 
 _HI = jax.lax.Precision.HIGHEST
 
@@ -161,12 +161,38 @@ def vi_estep_banded(
     if rho_init is None:
         rho_init = jnp.zeros((R, ydim, T), dtype=dt)
 
-    def solve_trial(rho0, y_tr):
-        res = minimize_lbfgs_fixed(lambda r: dual_cost_banded(r, y_tr), rho0,
-                                   n_iter=maxiter)
-        return res.x, res.fun, res.grad_norm
+    # chunked early-exit driver (while_loop OUTSIDE the vmapped fixed scan —
+    # same structure and rationale as the dense VI path, variational.py)
+    tshape = rho_init.shape[1:]
+    init = jax.vmap(
+        lambda r0, y: lbfgs_fixed_init(lambda r: dual_cost_banded(r, y), r0)
+    )(rho_init, Y)
+    chunk = min(25, maxiter)
+    n_chunks = -(-maxiter // chunk)
+    step = jax.vmap(
+        lambda c, y: lbfgs_fixed_steps(lambda r: dual_cost_banded(r, y), c,
+                                       chunk, tshape)
+    )
+    slack_coef = 1e-13 if dt == jnp.float64 else 1e-6
 
-    rho, bound, gnorm = jax.vmap(solve_trial)(rho_init, Y)
+    def w_cond(state):
+        _, it, done = state
+        return (it < n_chunks) & ~done
+
+    def w_body(state):
+        carry, it, _ = state
+        f_before = carry[1]
+        carry = step(carry, Y)
+        f_after = carry[1]
+        slack = slack_coef * (1.0 + jnp.max(jnp.abs(f_after)))
+        stalled = jnp.max(f_before - f_after) <= slack
+        return carry, it + 1, stalled
+
+    carry, _, _ = jax.lax.while_loop(
+        w_cond, w_body, (init, jnp.asarray(0), jnp.asarray(False))
+    )
+    rho, bound = carry[0].reshape(rho_init.shape), carry[1]
+    gnorm = jnp.max(jnp.abs(carry[2]), axis=tuple(range(1, carry[2].ndim)))
 
     def moments_trial(r, y_tr):
         lam = jnp.exp(r)

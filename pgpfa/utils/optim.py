@@ -83,6 +83,46 @@ def minimize_lbfgs(
     )
 
 
+def lbfgs_fixed_init(
+    fun: Callable[[jnp.ndarray], jnp.ndarray],
+    x0: jnp.ndarray,
+    memory_size: int = 10,
+):
+    """Initial carry for the fixed-scan L-BFGS (see :func:`minimize_lbfgs_fixed`).
+
+    Exposed separately so a caller can drive the scan in CHUNKS under an outer
+    ``lax.while_loop`` (early exit once every vmapped lane has converged or
+    stalled) — the chunked driver runs the IDENTICAL per-iteration body, so
+    the iterates match the monolithic scan step-for-step.
+    """
+    D = x0.size
+    dt = x0.dtype
+    xf0 = x0.reshape(D)
+    f0, g0 = jax.value_and_grad(lambda xf: fun(xf.reshape(x0.shape)))(xf0)
+    m = memory_size
+    return (
+        xf0,
+        f0,
+        g0,
+        jnp.zeros((m, D), dtype=dt),
+        jnp.zeros((m, D), dtype=dt),
+        jnp.zeros((m,), dtype=dt),
+        jnp.asarray(1.0, dtype=dt),
+    )
+
+
+def lbfgs_fixed_steps(
+    fun: Callable[[jnp.ndarray], jnp.ndarray],
+    carry,
+    n_iter: int,
+    shape,
+):
+    """Advance a :func:`lbfgs_fixed_init` carry by ``n_iter`` scan iterations."""
+    body = _lbfgs_fixed_body(fun, shape)
+    carry, _ = jax.lax.scan(lambda c, _: (body(c), None), carry, None, length=n_iter)
+    return carry
+
+
 def minimize_lbfgs_fixed(
     fun: Callable[[jnp.ndarray], jnp.ndarray],
     x0: jnp.ndarray,
@@ -108,22 +148,26 @@ def minimize_lbfgs_fixed(
     extra iterations past convergence are cheap no-ops (the step is rejected
     once the objective stops improving).
     """
-    shape = x0.shape
-    D = x0.size
-    dt = x0.dtype
+    carry0 = lbfgs_fixed_init(fun, x0, memory_size)
+    carry = lbfgs_fixed_steps(fun, carry0, n_iter, x0.shape)
+    x, f, g = carry[0], carry[1], carry[2]
+    return MinimizeResult(
+        x=x.reshape(x0.shape),
+        fun=f,
+        grad_norm=jnp.max(jnp.abs(g)),
+        niter=jnp.asarray(n_iter),
+    )
+
+
+def _lbfgs_fixed_body(fun: Callable[[jnp.ndarray], jnp.ndarray], shape):
+    """One fixed-scan L-BFGS iteration as a carry -> carry closure."""
     f_of = lambda xf: fun(xf.reshape(shape))
     vg = jax.value_and_grad(f_of)
-    m = memory_size
 
-    xf0 = x0.reshape(D)
-    f0, g0 = vg(xf0)
-    S0 = jnp.zeros((m, D), dtype=dt)
-    Ym0 = jnp.zeros((m, D), dtype=dt)
-    rho0 = jnp.zeros((m,), dtype=dt)
-    gamma0 = jnp.asarray(1.0, dtype=dt)
-
-    def body(carry, _):
+    def body(carry):
         x, f, g, S, Ym, rho, gamma = carry
+        m = S.shape[0]
+        dt = x.dtype
         # two-loop recursion; rho == 0 slots contribute nothing
         q = g
         alphas = [None] * m
@@ -172,16 +216,9 @@ def minimize_lbfgs_fixed(
         keep = jnp.where(accept, jnp.ones((), dtype=dt), jnp.zeros((), dtype=dt))
         rho = rho * keep
         gamma = jnp.where(accept, gamma, 0.1 * gamma)
-        return (x_new, f_new, g_new, S, Ym, rho, gamma), None
+        return (x_new, f_new, g_new, S, Ym, rho, gamma)
 
-    carry0 = (xf0, f0, g0, S0, Ym0, rho0, gamma0)
-    (x, f, g, *_), _ = jax.lax.scan(body, carry0, None, length=n_iter)
-    return MinimizeResult(
-        x=x.reshape(shape),
-        fun=f,
-        grad_norm=jnp.max(jnp.abs(g)),
-        niter=jnp.asarray(n_iter),
-    )
+    return body
 
 
 def minimize_newton_scalar(
