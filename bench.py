@@ -420,13 +420,29 @@ def secondary_configs(file=sys.stderr, iters: int = 10):
         dv = jnp.asarray(np.ravel(init_s["d"]))
         tv = jnp.asarray(np.ravel(init_s["tau"]))
         Yj = jnp.asarray(synth.Y, dtype=jnp.float64)
+        C32, d32, t32 = (a.astype(jnp.float32) for a in (C, dv, tv))
+        Y32 = Yj[0].astype(jnp.float32)
         for name, fn, chains in [
             ("MCMC elliptical-slice (1 chain, synthetic)",
              lambda: posterior_mcmc_from_arrays(C, dv, tv, Yj[0], synth.T,
                                                 float(synth.binSize), n_samples=n_samp), 1),
+            # latency regime, f32: a single sequential chain cannot use the
+            # chip's parallelism, so the win comes from native f32 exp/arith
+            # (the f64 chain's per-step cost is dominated by EMULATED f64
+            # ops). Sampling accuracy is Monte-Carlo-noise dominated; the
+            # f32 target perturbation (~1e-7 relative log-density) is far
+            # below it (same argument as the f32 prior factor, infer/mcmc.py).
+            ("MCMC elliptical-slice (1 chain, f32, synthetic)",
+             lambda: posterior_mcmc_from_arrays(C32, d32, t32, Y32, synth.T,
+                                                float(synth.binSize), n_samples=n_samp), 1),
             ("MCMC elliptical-slice (vmapped branchless, all trials)",
              lambda: posterior_mcmc_batched(C, dv, tv, Yj, synth.T,
                                             float(synth.binSize), n_samples=n_samp),
+             synth.Y.shape[0]),
+            ("MCMC elliptical-slice (vmapped branchless, all trials, f32)",
+             lambda: posterior_mcmc_batched(C32, d32, t32, Yj.astype(jnp.float32),
+                                            synth.T, float(synth.binSize),
+                                            n_samples=n_samp),
              synth.Y.shape[0]),
         ]:
             r = fn()  # compile

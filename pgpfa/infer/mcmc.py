@@ -192,8 +192,13 @@ def posterior_mcmc_from_arrays(
     Returns:
         :class:`ESSResult` with ``samples (n_samples, xdim, T)``.
     """
+    from pgpfa.ops.blockmat import chol32
+
     K = rbf_kernel(tau, T, bin_size_ms, eps_noise)
-    chol = jnp.linalg.cholesky(K)
+    # f32 prior factor (same rationale as the batched path): the factor error
+    # perturbs the proposal ellipse at ~1e-7 relative — far below Monte-Carlo
+    # noise — while an f64 Cholesky is emulated and slow on TPU.
+    chol = chol32(K).astype(C.dtype)
     xdim = C.shape[1]
 
     def log_lik(X):
