@@ -480,6 +480,38 @@ def secondary_configs(file=sys.stderr, iters: int = 10):
     except Exception as e:  # noqa: BLE001
         emit({"metric": "CV sweep", "error": str(e)[:200]})
 
+    # long-trial banded path: full EM iteration (E + both M-steps), banded vs
+    # dense at T=1000 and banded alone at T=4000 (dense OOMs past T=2000).
+    # Subprocess per config: back-to-back big programs accumulate allocator
+    # state on the tunneled chip (see scripts/bench_longt.py).
+    import re
+    import subprocess as sp
+
+    def _longt_ms(T, path):
+        r = sp.run([sys.executable, os.path.join(REPO, "scripts/bench_longt.py"),
+                    str(T), path], capture_output=True, text=True, timeout=2400)
+        m = re.search(r"([0-9.]+) ms/EM-iter", r.stdout)
+        return float(m.group(1)) if m else None
+
+    try:
+        b1k = _longt_ms(1000, "banded")
+        d1k = _longt_ms(1000, "dense")
+        b4k = _longt_ms(4000, "banded")
+        rec = {"metric": "long-trial banded EM iteration (T=1000, s=50, 30n x 16tr)",
+               "value": b1k, "unit": "ms/EM-iter"}
+        if d1k:
+            rec["dense_same_T_ms"] = d1k
+            rec["vs_dense_same_T"] = round(d1k / b1k, 2)
+        emit(rec)
+        if b4k:
+            emit({"metric": "long-trial banded EM iteration (T=4000, s=50)",
+                  "value": b4k, "unit": "ms/EM-iter",
+                  "dense_path": "OOM at T>=2000",
+                  # end-to-end linearity evidence: 4x the bins at ~4x the time
+                  "time_ratio_vs_T1000": round(b4k / b1k, 2)})
+    except Exception as e:  # noqa: BLE001
+        emit({"metric": "long-trial banded EM", "error": str(e)[:200]})
+
     # Stevenson-scale MCMC: 100 vmapped chains (the TPU throughput regime)
     mcmc_big = _load("BASELINE_MEASURED_MCMC_STEVENSON.json")
     try:
