@@ -50,6 +50,36 @@ def test_mcmc_agrees_with_laplace(small):
     assert 0.65 < np.mean(ratio) < 1.35, f"sd ratio mean = {np.mean(ratio)}"
 
 
+def test_mcmc_f32_chain_agrees_with_laplace(small):
+    """The f32 single chain (the bench latency-regime row) samples the same
+    posterior: the f32 target perturbation (~1e-7 relative log-density) is
+    far below Monte-Carlo noise, so the Laplace-agreement bounds of the f64
+    chain must hold unchanged."""
+    train, _ = small
+    from pgpfa.infer.laplace import laplace_estep_from_arrays
+    from pgpfa.infer.mcmc import posterior_mcmc_from_arrays
+
+    C = jnp.asarray(train.params["C"])
+    d = jnp.asarray(train.params["d"])
+    tau = jnp.asarray(train.params["tau"])
+    Y = jnp.asarray(train.Y, dtype=jnp.float64)
+    inf, _ = laplace_estep_from_arrays(C, d, tau, Y[:1], train.T, 20.0)
+
+    res = posterior_mcmc_from_arrays(
+        C.astype(jnp.float32), d.astype(jnp.float32), tau.astype(jnp.float32),
+        Y[0].astype(jnp.float32), train.T, 20.0, n_samples=4000, seed=1
+    )
+    assert res.samples.dtype == jnp.float32
+    samples = np.asarray(res.samples)[1000:]
+    mcmc_mean = samples.mean(axis=0)
+    lap_mean = np.asarray(inf.post_mean[0])
+    lap_sd = np.sqrt(np.diagonal(np.asarray(inf.post_vsm_gp[0]), axis1=1, axis2=2))
+    z = np.abs(mcmc_mean - lap_mean) / lap_sd
+    assert np.mean(z) < 0.5, f"mean |z| = {np.mean(z)}"
+    ratio = samples.std(axis=0) / lap_sd
+    assert 0.65 < np.mean(ratio) < 1.35, f"sd ratio mean = {np.mean(ratio)}"
+
+
 def test_loo_prediction(small):
     train, init = small
     from pgpfa.diag.loo import leave_one_out_prediction
