@@ -165,11 +165,23 @@ def learn_cd_newton(
     # -- precomputed moment tensors over the flattened sample axis ----------
     M2 = jnp.swapaxes(means, 1, 2).reshape(s, xdim)  # (s, x)
     Vf = vsms.reshape(s, xdim * xdim)  # (s, x^2)
-    P2 = (M2[:, :, None] * M2[:, None, :]).reshape(s, xdim * xdim)  # m (x) m
-    MV = (M2[:, :, None] * Vf[:, None, :]).reshape(s, xdim**3)  # m (x) V
-    big_vv = xdim > 8
-    if not big_vv:
+    # Hessian-statistics form: MXU matmul form by default — (ydim, s) @
+    # (s, x^k) against precomputed m (x) m / m (x) V / V (x) V tensors.
+    # The contraction fallback (u = m + V c; the whole second-moment block is
+    # one weighted outer product sum_s rate * u u^T) exists for large xdim,
+    # where the x^4 tensor is prohibitive. MEASURED both ways in f64 at
+    # Stevenson scale (xdim 5): the fallback's (ydim, s, x) f64 elementwise
+    # intermediates cost 4x MORE than the emulated-matmul FLOPs they save
+    # (cd M-step 163 -> 661 ms/EM-iter) — the matmul form stays for BOTH
+    # dtypes at small xdim despite CLAUDE.md 9's einsum warning; rule 9's
+    # "measure on-chip" applies in both directions.
+    contraction = xdim > 8
+    if not contraction:
+        P2 = (M2[:, :, None] * M2[:, None, :]).reshape(s, xdim * xdim)  # m (x) m
+        MV = (M2[:, :, None] * Vf[:, None, :]).reshape(s, xdim**3)  # m (x) V
         VV = (Vf[:, :, None] * Vf[:, None, :]).reshape(s, xdim**4)  # V (x) V
+    else:
+        V3 = vsms.reshape(s, xdim, xdim)
     Yf = jnp.swapaxes(Y, 0, 1).reshape(ydim, s)  # (ydim, s)
     Ym = Yf @ M2  # (ydim, x): sum_s y m
     Ysum = jnp.sum(Yf, axis=1)  # (ydim,)
@@ -202,27 +214,36 @@ def learn_cd_newton(
 
     def grad_hess(theta, rate):
         C, dn = theta[:, :-1], theta[:, -1]
-        A1 = rate @ M2  # (ydim, x): sum rate * m
         W = (rate @ Vf).reshape(ydim, xdim, xdim)  # sum rate * V
-        Wc = jnp.einsum("nkl,nl->nk", W, C)  # sum rate * (V c)
         rsum = jnp.sum(rate, axis=1)
 
-        g_c = -(Ym - (A1 + Wc)) / R
+        if contraction:
+            # u = m + V c per (neuron, sample); the gradient's rate moment
+            # and the Hessian's full second-moment block are one weighted
+            # sum/outer-product of u — two-operand contractions only
+            # (three-operand f64 einsums lower to tiny-matmul streams,
+            # CLAUDE.md 9). U is (ydim, s, x): 50 MB f64 at Stevenson scale.
+            U = M2[None] + jnp.einsum("skl,nl->nsk", V3, C)
+            RU = rate[:, :, None] * U
+            A1Wc = jnp.sum(RU, axis=1)  # (ydim, x): sum rate * u
+            S_uu = jnp.einsum("nsk,nsl->nkl", RU, U)  # sum rate * u u^T
+            H_cc = (S_uu + W) / R
+        else:
+            A1 = rate @ M2  # (ydim, x): sum rate * m
+            Wc = jnp.einsum("nkl,nl->nk", W, C)  # sum rate * (V c)
+            A1Wc = A1 + Wc
+            S_mm = (rate @ P2).reshape(ydim, xdim, xdim)
+            S_mv = (rate @ MV).reshape(ydim, xdim, xdim, xdim)  # [n,k,l,j]: m_k V_lj
+            T2 = jnp.einsum("nklj,nj->nkl", S_mv, C)  # sum rate * m (Vc)^T
+            S_vv = (rate @ VV).reshape(ydim, xdim, xdim, xdim, xdim)  # [n,k,i,l,j]
+            T4 = jnp.einsum("nkilj,ni,nj->nkl", S_vv, C, C)
+            H_cc = (S_mm + T2 + jnp.swapaxes(T2, 1, 2) + T4 + W) / R
+
+        g_c = -(Ym - A1Wc) / R
         g_d = -(Ysum - rsum) / R
         g = jnp.concatenate([g_c, g_d[:, None]], axis=1)  # (ydim, q)
 
-        S_mm = (rate @ P2).reshape(ydim, xdim, xdim)
-        S_mv = (rate @ MV).reshape(ydim, xdim, xdim, xdim)  # [n,k,l,j]: m_k V_lj
-        T2 = jnp.einsum("nklj,nj->nkl", S_mv, C)  # sum rate * m (Vc)^T
-        if big_vv:
-            # contraction fallback: sum_s rate * (Vc)(Vc)^T without V(x)V
-            VC = jnp.einsum("skl,nl->nsk", vsms.reshape(s, xdim, xdim), C)
-            T4 = jnp.einsum("ns,nsk,nsl->nkl", rate, VC, VC)
-        else:
-            S_vv = (rate @ VV).reshape(ydim, xdim, xdim, xdim, xdim)  # [n,k,i,l,j]
-            T4 = jnp.einsum("nkilj,ni,nj->nkl", S_vv, C, C)
-        H_cc = (S_mm + T2 + jnp.swapaxes(T2, 1, 2) + T4 + W) / R
-        H_cd = (A1 + Wc) / R  # (ydim, x)
+        H_cd = A1Wc / R  # (ydim, x)
         H_dd = rsum / R
         top = jnp.concatenate([H_cc, H_cd[:, :, None]], axis=2)
         bot = jnp.concatenate([H_cd, H_dd[:, None]], axis=1)[:, None, :]

@@ -105,3 +105,30 @@ def test_cd_prior_penalty(problem):
     step_free = float(jnp.linalg.norm(pack_cd(free.C, free.d) - v0))
     step_prox = float(jnp.linalg.norm(pack_cd(prox.C, prox.d) - v0))
     assert step_prox < 0.2 * step_free
+
+
+def test_learn_cd_contraction_branch_large_xdim():
+    """xdim > 8 routes the Hessian statistics through the contraction form
+    (u = m + Vc outer products; the x^4 moment tensor never exists) — pin it
+    to the joint L-BFGS optimum on the same cost."""
+    rng = np.random.default_rng(3)
+    R, ydim, T, xdim = 3, 7, 10, 9
+    means = rng.normal(0, 0.5, (R, xdim, T))
+    A = rng.normal(0, 0.2, (R, T, xdim, xdim))
+    vsms = np.einsum("rtij,rtkj->rtik", A, A) + 0.05 * np.eye(xdim)
+    C0 = rng.uniform(-0.3, 0.3, (ydim, xdim))
+    d0 = rng.uniform(-1.0, 0.0, ydim)
+    Y = rng.poisson(
+        np.exp(np.clip(np.einsum("nk,rkt->rnt", C0, means) + d0[:, None], None, 2.0))
+    ).astype(float)
+
+    newton = mstep_obs.learn_cd_newton(
+        jnp.asarray(Y), jnp.asarray(means), jnp.asarray(vsms),
+        jnp.asarray(C0), jnp.asarray(d0), n_iter=25,
+    )
+    lbfgs = mstep_obs.learn_cd(
+        jnp.asarray(Y), jnp.asarray(means), jnp.asarray(vsms),
+        jnp.asarray(C0), jnp.asarray(d0), method="lbfgs", maxiter=800, tol=1e-12,
+    )
+    np.testing.assert_allclose(float(newton.cost), float(lbfgs.cost), rtol=0, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(newton.C), np.asarray(lbfgs.C), atol=2e-4)
