@@ -254,6 +254,18 @@ def online_parity_vs_reference(file=sys.stderr):
         out = {"per_iter_absdiff": [round(float(v), 9) for v in diffs],
                "maxabs": float(diffs.max()), "iter1": float(diffs[0]),
                "n_iters": int(len(ref))}
+        # Floor: the independent scipy oracle implements the same documented
+        # online deviations; its diff vs the reference on the SAME stream is
+        # what the spec deviations + chaos cost ANY implementation
+        # (scripts/oracle_online_traj.py). package-vs-oracle then isolates
+        # the implementation part.
+        floor = _load("ORACLE_ONLINE_TRAJ.json")
+        if floor and "post_loglik" in floor:
+            opll = np.asarray(floor["post_loglik"])[: len(ours)]
+            out["floor_oracle_vs_reference_maxabs"] = float(
+                floor.get("maxabs_vs_reference", 0.0))
+            out["ours_vs_oracle_maxabs"] = float(
+                np.abs(ours[: len(opll)] - opll).max())
         print(f"online parity vs reference (identical minibatch stream): {out}",
               file=file)
         return out
