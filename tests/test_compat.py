@@ -250,3 +250,50 @@ def test_online_driver_shims(setup):
             c_old = learning.MStepObservationCost(
                 CdtoVecCd(init["C"], init["d"]), 2, 10, train, res)
             assert c_new < c_old
+
+
+def test_migration_guide_symbols_exist():
+    """Every symbol MIGRATION.md's mapping table documents must exist."""
+    import pgpfa
+    from pgpfa.compat import datamanager, engine, inference, learning, mcmc, util
+
+    table = {
+        pgpfa: [
+            "PPGPFAfit", "dataset", "initializeParams", "subsampleTrials",
+            "seenTrials", "crossValidation", "splitTrainingTestDataset",
+            "leaveOneOutPrediction", "subspaceAngle", "JSLogdetDiv",
+            "getMeanCovYfromParams", "saveVariables", "openVariables",
+            "fit_sharded",
+        ],
+        engine: ["PPGPFAfit"],
+        inference: [
+            "laplace", "dualVariational", "negLogPosteriorUnNorm",
+            "negLogPosteriorUnNorm_grad", "negLogPosteriorUnNorm_hess",
+            "dualProblem", "dualProblem_grad", "dualProblemRho",
+            "dualProblemRho_grad", "VIPostMean", "VIPostCov",
+        ],
+        learning: [
+            "updateParams", "updateParamsWithPrior",
+            "updateParamsWithGradDescent", "MStepObservationCost",
+            "MStepObservationCost_grad", "MStepGPtimescaleCost",
+            "MStepGPtimescaleCost_grad", "MStepGPtimescaleCostWithPrior",
+            "MStepObservationCostWithPrior", "MStepObservationCostWithPrior_grad",
+            "MStep_C_costWithPrior", "MStep_C_costWithPrior_grad",
+            "makePrecomp", "learnLTparams", "learnGPparams",
+            "update_d_closedForm",
+        ],
+        mcmc: ["PosteriorMCMC"],
+        util: [
+            "makeK_big", "makeCd_big", "CdtoVecCd", "vecCdtoCd",
+            "load_crcns_data", "loadDataForGPFA_CV_comparison",
+            "loadDataHighData", "MATLABdataset",
+        ],
+        datamanager: ["StevensonDataset", "MATLABdataset"],
+    }
+    missing = [
+        f"{mod.__name__}.{name}"
+        for mod, names in table.items()
+        for name in names
+        if not hasattr(mod, name)
+    ]
+    assert not missing, f"MIGRATION.md documents symbols that do not exist: {missing}"
