@@ -123,10 +123,27 @@ def laplace(experiment, params, prevOptimRes=None, returnOptimRes=True, verbose=
     return res, float(pll)
 
 
-def dualVariational(experiment, params, optimizeLogLambda=True, prevOptimRes=None,
+def dualVariational(experiment, params, optimizeLogLambda=False, prevOptimRes=None,
                     returnOptimRes=True, verbose=False, **kw):
-    """Reference signature (``funs/inference.py:259``). Always optimizes in
-    log-lambda space (the reference's own unconstrained variant)."""
+    """Reference signature and default (``funs/inference.py:259``).
+
+    * ``optimizeLogLambda=True``: the TPU path — batched unconstrained
+      L-BFGS in ``rho = log lambda`` space (the reference's own variant at
+      ``funs/inference.py:352-399``).
+    * ``optimizeLogLambda=False`` (the reference DEFAULT,
+      ``funs/inference.py:315-324``): per-trial box-bounded L-BFGS-B over
+      ``lambda in (1e-10, inf)`` with ``factr=1e7``, run host-side with
+      scipy at oracle grade — a compat path for users comparing
+      lambda-space iterate behavior (e.g. active bounds at lambda -> 1e-10),
+      NOT a TPU path (VERDICT r3 item 5; previously this flag was silently
+      remapped to the rho path).
+
+    Both paths agree on converged bounds to the documented VI parity
+    envelope (``tests/test_compat.py``).
+    """
+    if not optimizeLogLambda:
+        return _dual_variational_bounded(experiment, params, prevOptimRes,
+                                         returnOptimRes, verbose)
     C, d, tau, Y, T = _unpack(experiment, params)
     rho_init = None
     if prevOptimRes is not None:
@@ -137,3 +154,72 @@ def dualVariational(experiment, params, optimizeLogLambda=True, prevOptimRes=Non
         rhos = [np.asarray(rho[i]).reshape(-1) for i in range(Y.shape[0])]
         return res, float(pll), float(vlb), rhos
     return res, float(pll), float(vlb)
+
+
+def _dual_variational_bounded(experiment, params, prevOptimRes=None,
+                              returnOptimRes=True, verbose=False):
+    """Bounded-lambda dual VI (reference ``funs/inference.py:288-418``):
+    per-trial ``scipy.optimize.fmin_l_bfgs_b`` with the reference's bounds
+    ``(1e-10, None)``, ``factr=1e7``, init ``lambda = 0.5``, and the
+    reference's ridge-regularized posterior packing. Host-side oracle-grade
+    compat path (dense ``C_big``/``K_big`` algebra via the shims above)."""
+    import scipy.optimize as op
+
+    ydim, T = np.shape(experiment.data[0]["Y"])
+    xdim = np.shape(np.asarray(params["C"]))[1]
+    n_trials = len(experiment.data)
+
+    # same (xdim*T, ydim*T) orientation as the reference's makeCd_big
+    C_big, d_big = _util().makeCd_big(params, T)
+    K_big, _ = _util().makeK_big(params, experiment.trialDur, experiment.binSize)
+    K_bigInv = np.linalg.inv(K_big)
+
+    post_mean, post_cov, vsm, vsm_gp, optim_res = [], [], [], [], []
+    post_lik = 0.0
+    vlb = 0.0
+    for tr in range(n_trials):
+        if verbose:
+            print(f"bounded dual variational inference, trial {tr + 1}...")
+        ybar = np.reshape(np.asarray(experiment.data[tr]["Y"], float), ydim * T)
+        lamb0 = (np.zeros(ydim * T) + 0.5 if prevOptimRes is None
+                 else np.ravel(prevOptimRes[tr]))
+        x_opt, f_opt, _ = op.fmin_l_bfgs_b(
+            func=dualProblem,
+            x0=lamb0,
+            fprime=dualProblem_grad,
+            args=(ybar, C_big, K_big, K_bigInv, d_big),
+            bounds=[(1e-10, None)] * (ydim * T),
+            factr=1e7,
+            disp=False,
+        )
+        optim_res.append(x_opt)
+        mean = VIPostMean(K_big, C_big, ybar, x_opt)
+        # the reference's bounded branch does NOT add the extra ridge*I it
+        # adds in the rho branch (funs/inference.py:335-337 vs 400-402); the
+        # relative diagonal ridge inside VIPostCov is the only regularizer
+        cov, _ = VIPostCov(K_bigInv, C_big, x_opt)
+        post_mean.append(np.reshape(mean, (xdim, T)))
+        post_cov.append(cov)
+        # per-time (xdim, xdim) and per-latent (T, T) covariance views
+        # (reference funs/inference.py:407-418)
+        vsm_gp.append(np.stack(
+            [cov[k * T:(k + 1) * T, k * T:(k + 1) * T] for k in range(xdim)],
+            axis=-1))
+        vsm.append(np.stack([cov[t::T, t::T] for t in range(T)]))
+        post_lik += negLogPosteriorUnNorm(mean, ybar, C_big, d_big, K_bigInv,
+                                          xdim, ydim)
+        vlb += f_opt
+
+    res = {"post_mean": post_mean, "post_cov": post_cov,
+           "post_vsm": vsm, "post_vsmGP": vsm_gp}
+    post_lik /= n_trials
+    vlb /= n_trials
+    if returnOptimRes:
+        return res, -float(post_lik), float(vlb), optim_res
+    return res, -float(post_lik), float(vlb)
+
+
+def _util():
+    from pgpfa.compat import util
+
+    return util

@@ -29,8 +29,16 @@ def subspace_angle(F: np.ndarray, G: np.ndarray) -> float:
 
 
 def js_logdet_div(X: np.ndarray, Y: np.ndarray) -> float:
-    """Jensen-Shannon-style log-determinant divergence between SPD matrices."""
-    return float(np.log(np.linalg.det((X + Y) / 2.0)) - 0.5 * np.log(np.linalg.det(X @ Y)))
+    """Jensen-Shannon-style log-determinant divergence between SPD matrices.
+
+    Computed via ``slogdet`` — the reference's raw determinants
+    (``funs/util.py:21-22``) overflow/underflow past ydim ~ 90 (intentional
+    robustness fix, same policy as the other fixed reference bugs).
+    """
+    _, ld_mid = np.linalg.slogdet((X + Y) / 2.0)
+    _, ld_x = np.linalg.slogdet(X)
+    _, ld_y = np.linalg.slogdet(Y)
+    return float(ld_mid - 0.5 * (ld_x + ld_y))
 
 
 def mean_cov_y_from_params(params) -> tuple:

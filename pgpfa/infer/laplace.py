@@ -115,10 +115,13 @@ def _newton_solve(Y, X0, C, d, Kinv, weights, gtol, maxiter, max_backtracks=30):
         # f32 factorization + structured f64 iterative refinement: f64
         # triangular solves and dense f64 matmuls are pathologically slow on
         # TPU (see pgpfa/ops/blockmat.py).
-        # ir_steps=1: one structured f64 refinement leaves relative direction
-        # error ~(eps_f32 * kappa)^2 ~ 1e-8 — far below what Newton needs
-        # (mode accuracy is set by the decrement test, not direction noise).
-        dX = solve_psd_structured(W, Kinv, G.reshape(D), L32, ir_steps=1).reshape(xdim, T)
+        # ir_steps=1 (f64): one structured f64 refinement leaves relative
+        # direction error ~(eps_f32 * kappa)^2 ~ 1e-8 — far below what Newton
+        # needs (mode accuracy is set by the decrement test, not direction
+        # noise). f32 fast mode: 0 — same-precision refinement is a no-op for
+        # forward error and costs ~10 ms/body (CLAUDE.md rule 15).
+        dX = solve_psd_structured(W, Kinv, G.reshape(D), L32,
+                                  ir_steps=1 if f64 else 0).reshape(xdim, T)
         slope = jnp.vdot(G, dX)  # Newton decrement^2 = g^T H^{-1} g
         converged = slope <= dec_tol
         # 1-ULP slack: near the optimum f(X - t dX) can round a hair above f.

@@ -28,6 +28,37 @@ class ESSResult(NamedTuple):
     log_lik: jnp.ndarray  # (n_samples,) or (R, n_samples)
 
 
+def _prior_chol(K, dtype):
+    """Guarded prior-draw factor: f32 Cholesky with jitter-retry + f64 fallback.
+
+    An f32 factor is ample for SAMPLING — it perturbs the proposal ellipse at
+    ~``kappa(K) * 1e-7`` relative, far below Monte-Carlo noise — and avoids
+    the emulated f64 factorization on TPU. But f32 Cholesky can fail outright
+    (NaN rows) once ``kappa(K)`` approaches ``1e7`` (long T with large tau and
+    small ``eps_noise``), where the f64 factorization still succeeds. Guard
+    (round-3 advisor): if the f32 factor is non-finite, retry once with a
+    relative diagonal bump (1e-5 of the largest diagonal entry), and if THAT
+    still fails, fall back to the exact f64 factorization (emulated on TPU —
+    slow, but only the taken ``lax.cond`` branch executes at runtime).
+    """
+    from pgpfa.ops.blockmat import chol32
+
+    L = chol32(K)
+
+    def retry(_):
+        bump = 1e-5 * jnp.max(jnp.diagonal(K, axis1=-2, axis2=-1))
+        eye = jnp.eye(K.shape[-1], dtype=K.dtype)
+        return chol32(K + bump * eye)
+
+    L = jax.lax.cond(jnp.all(jnp.isfinite(L)), lambda _: L, retry, None)
+    return jax.lax.cond(
+        jnp.all(jnp.isfinite(L)),
+        lambda _: L.astype(dtype),
+        lambda _: jnp.linalg.cholesky(K.astype(jnp.float64)).astype(dtype),
+        None,
+    )
+
+
 def elliptical_slice_step(key, x, log_lik_fn, chol_blocks):
     """One ESS transition for latents in block form ``(xdim, T)``.
 
@@ -140,13 +171,9 @@ def posterior_mcmc_batched(
     Returns:
         :class:`ESSResult` with ``samples (R, n_samples, xdim, T)``.
     """
-    from pgpfa.ops.blockmat import chol32
-
     K = rbf_kernel(tau, T, bin_size_ms, eps_noise)
-    # prior draw factor: an f32 Cholesky is ample for sampling (the factor
-    # error perturbs the proposal distribution at ~1e-7 relative, far below
-    # Monte-Carlo noise) and avoids the emulated f64 factorization on TPU
-    chol = chol32(K).astype(C.dtype)
+    # guarded f32 prior-draw factor (jitter-retry + f64 fallback; _prior_chol)
+    chol = _prior_chol(K, C.dtype)
     xdim = C.shape[1]
 
     def chain(Y_tr, key):
@@ -192,13 +219,9 @@ def posterior_mcmc_from_arrays(
     Returns:
         :class:`ESSResult` with ``samples (n_samples, xdim, T)``.
     """
-    from pgpfa.ops.blockmat import chol32
-
     K = rbf_kernel(tau, T, bin_size_ms, eps_noise)
-    # f32 prior factor (same rationale as the batched path): the factor error
-    # perturbs the proposal ellipse at ~1e-7 relative — far below Monte-Carlo
-    # noise — while an f64 Cholesky is emulated and slow on TPU.
-    chol = chol32(K).astype(C.dtype)
+    # guarded f32 prior-draw factor (jitter-retry + f64 fallback; _prior_chol)
+    chol = _prior_chol(K, C.dtype)
     xdim = C.shape[1]
 
     def log_lik(X):

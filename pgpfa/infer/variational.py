@@ -38,7 +38,11 @@ from pgpfa.ops.blockmat import (
     inv_psd_mixed,
     logdet_psd_mixed,
 )
-from pgpfa.utils.optim import lbfgs_fixed_init, lbfgs_fixed_steps
+from pgpfa.utils.optim import (
+    lbfgs_chunked_driver,
+    lbfgs_fixed_init,
+    lbfgs_fixed_steps,
+)
 
 
 def _posterior_precision(lam, C, Kinv, ridge=1e-6):
@@ -123,9 +127,11 @@ def vi_estep_from_arrays(
     #
     # The scan is driven in CHUNKS under an outer while_loop (while OUTSIDE
     # the vmap — the crash-prone topology was a while_loop-based optimizer
-    # INSIDE vmap): once every trial's dual has converged (gradient tolerance)
-    # or stopped improving by more than rounding slack over a whole chunk, the
-    # remaining budget is skipped. Warm-started E-steps converge in a fraction
+    # INSIDE vmap): once every trial's dual has individually converged
+    # (gradient tolerance) or stopped improving by more than its own rounding
+    # slack over a whole chunk, the remaining budget is skipped
+    # (:func:`pgpfa.utils.optim.lbfgs_chunked_driver` — exact ``maxiter``
+    # budget, per-trial slack). Warm-started E-steps converge in a fraction
     # of ``maxiter``, so this is a pure wall-clock win with the identical
     # per-iteration body (chunk boundaries do not change the scan math; the
     # early exit changes the result only below the stall slack, orders of
@@ -134,30 +140,12 @@ def vi_estep_from_arrays(
     tshape = rho_init.shape[1:]
     init = jax.vmap(lambda r0, y: lbfgs_fixed_init(lambda r: dual(r, y), r0))(
         rho_init, Y)
-    chunk = min(25, maxiter)
-    n_chunks = -(-maxiter // chunk)
-    step = jax.vmap(
-        lambda c, y: lbfgs_fixed_steps(lambda r: dual(r, y), c, chunk, tshape)
-    )
+    make_step = lambda n: lambda c: jax.vmap(
+        lambda ci, y: lbfgs_fixed_steps(lambda r: dual(r, y), ci, n, tshape)
+    )(c, Y)
     slack_coef = 1e-13 if C.dtype == jnp.float64 else 1e-6
-
-    def w_cond(state):
-        _, it, done = state
-        return (it < n_chunks) & ~done
-
-    def w_body(state):
-        carry, it, _ = state
-        f_before = carry[1]
-        carry = step(carry, Y)
-        f_after, g = carry[1], carry[2]
-        gnorm = jnp.max(jnp.abs(g))
-        slack = slack_coef * (1.0 + jnp.max(jnp.abs(f_after)))
-        stalled = jnp.max(f_before - f_after) <= slack
-        return carry, it + 1, (gnorm <= gtol) | stalled
-
-    carry, _, _ = jax.lax.while_loop(
-        w_cond, w_body, (init, jnp.asarray(0), jnp.asarray(False))
-    )
+    carry = lbfgs_chunked_driver(make_step, init, maxiter, chunk=25,
+                                 slack_coef=slack_coef, gtol=gtol)
     rho, bound = carry[0].reshape(rho_init.shape), carry[1]
     means = jax.vmap(lambda r, y: vi_posterior_mean(r, y, C, K))(rho, Y)
 

@@ -50,7 +50,11 @@ from pgpfa.ops.blocktridiag import (
     btd_selected_inverse,
     btd_solve,
 )
-from pgpfa.utils.optim import lbfgs_fixed_init, lbfgs_fixed_steps
+from pgpfa.utils.optim import (
+    lbfgs_chunked_driver,
+    lbfgs_fixed_init,
+    lbfgs_fixed_steps,
+)
 
 _HI = jax.lax.Precision.HIGHEST
 
@@ -137,6 +141,7 @@ def vi_estep_banded(
     bin_size_ms: float,
     block_size: int,
     rho_init=None,
+    gtol: float = 1e-8,
     maxiter: int = 150,
     eps_noise: float = 0.001,
     ridge: float = 1e-6,
@@ -162,35 +167,20 @@ def vi_estep_banded(
         rho_init = jnp.zeros((R, ydim, T), dtype=dt)
 
     # chunked early-exit driver (while_loop OUTSIDE the vmapped fixed scan —
-    # same structure and rationale as the dense VI path, variational.py)
+    # same structure, budget and exit rules as the dense VI path,
+    # variational.py: exact maxiter budget, per-trial stall slack, gradient
+    # tolerance)
     tshape = rho_init.shape[1:]
     init = jax.vmap(
         lambda r0, y: lbfgs_fixed_init(lambda r: dual_cost_banded(r, y), r0)
     )(rho_init, Y)
-    chunk = min(25, maxiter)
-    n_chunks = -(-maxiter // chunk)
-    step = jax.vmap(
-        lambda c, y: lbfgs_fixed_steps(lambda r: dual_cost_banded(r, y), c,
-                                       chunk, tshape)
-    )
+    make_step = lambda n: lambda c: jax.vmap(
+        lambda ci, y: lbfgs_fixed_steps(lambda r: dual_cost_banded(r, y), ci,
+                                        n, tshape)
+    )(c, Y)
     slack_coef = 1e-13 if dt == jnp.float64 else 1e-6
-
-    def w_cond(state):
-        _, it, done = state
-        return (it < n_chunks) & ~done
-
-    def w_body(state):
-        carry, it, _ = state
-        f_before = carry[1]
-        carry = step(carry, Y)
-        f_after = carry[1]
-        slack = slack_coef * (1.0 + jnp.max(jnp.abs(f_after)))
-        stalled = jnp.max(f_before - f_after) <= slack
-        return carry, it + 1, stalled
-
-    carry, _, _ = jax.lax.while_loop(
-        w_cond, w_body, (init, jnp.asarray(0), jnp.asarray(False))
-    )
+    carry = lbfgs_chunked_driver(make_step, init, maxiter, chunk=25,
+                                 slack_coef=slack_coef, gtol=gtol)
     rho, bound = carry[0].reshape(rho_init.shape), carry[1]
     gnorm = jnp.max(jnp.abs(carry[2]), axis=tuple(range(1, carry[2].ndim)))
 

@@ -76,23 +76,25 @@ def structured_mm(W: jnp.ndarray, B: jnp.ndarray, Xm: jnp.ndarray) -> jnp.ndarra
     return out.reshape(xdim * T, -1)
 
 
-def solve_psd_structured(W, B, rhs, L32, ir_steps: int = 2) -> jnp.ndarray:
+def solve_psd_structured(W, B, rhs, L32, ir_steps: int = None) -> jnp.ndarray:
     """:func:`solve_psd_mixed` with the residual computed structurally.
 
     ``L32`` is the f32 Cholesky of the (f32-assembled) dense ``H``; the f64
     refinement residuals use :func:`structured_mm`, so no dense f64 product
     is ever formed.
 
-    f32 fast mode: refinement is skipped — iterative refinement in the SAME
-    precision as the factorization cannot improve the forward error (the f32
-    residual carries the same 1e-7 rounding it is trying to resolve), so the
-    extra cho_solve + structured_mm per Newton body (~10 ms/body at Stevenson
-    scale on the bench TPU) bought nothing. f64 semantics untouched.
+    f32 fast mode DEFAULT (``ir_steps=None``): refinement is skipped —
+    iterative refinement in the SAME precision as the factorization cannot
+    improve the forward error (the f32 residual carries the same 1e-7
+    rounding it is trying to resolve), so the extra cho_solve + structured_mm
+    per Newton body (~10 ms/body at Stevenson scale on the bench TPU) bought
+    nothing. An EXPLICIT ``ir_steps`` is honored in either dtype (the
+    stale-factor escape hatch of CLAUDE.md rule 15). f64 semantics untouched.
     """
     import jax.scipy.linalg as jsl
 
-    if rhs.dtype != jnp.float64:
-        ir_steps = 0
+    if ir_steps is None:
+        ir_steps = 2 if rhs.dtype == jnp.float64 else 0
 
     def coarse(b):
         return jsl.cho_solve((L32, True), b.astype(jnp.float32)).astype(rhs.dtype)
@@ -352,7 +354,8 @@ def chol32(H: jnp.ndarray) -> jnp.ndarray:
     return jnp.linalg.cholesky(H.astype(jnp.float32))
 
 
-def solve_psd_mixed(H: jnp.ndarray, rhs: jnp.ndarray, L32=None, ir_steps: int = 2) -> jnp.ndarray:
+def solve_psd_mixed(H: jnp.ndarray, rhs: jnp.ndarray, L32=None,
+                    ir_steps: int = None) -> jnp.ndarray:
     """Solve ``H x = rhs`` with an f32 factorization + f64 iterative refinement.
 
     Args:
@@ -360,15 +363,18 @@ def solve_psd_mixed(H: jnp.ndarray, rhs: jnp.ndarray, L32=None, ir_steps: int = 
         rhs: ``(D,)`` or ``(D, k)``.
         L32: optional precomputed f32 Cholesky factor of H.
         ir_steps: refinement steps (error ~ (kappa * 1e-7)^(steps+1)).
+            Default (``None``): 2 for f64, 0 for f32 — same-precision
+            refinement cannot improve the forward error (the f32 residual
+            carries the same rounding it resolves), but an EXPLICIT value is
+            honored in either dtype (the stale-factor escape hatch of
+            CLAUDE.md rule 15: refinement against a stale ``L32`` does pay).
     """
     import jax.scipy.linalg as jsl
 
     if L32 is None:
         L32 = chol32(H)
-    if H.dtype != jnp.float64:
-        # f32: same-precision refinement cannot improve the forward error
-        # (cho_solve is already backward stable); skip the residual passes.
-        ir_steps = 0
+    if ir_steps is None:
+        ir_steps = 2 if H.dtype == jnp.float64 else 0
 
     def coarse(b):
         return jsl.cho_solve((L32, True), b.astype(jnp.float32)).astype(H.dtype)

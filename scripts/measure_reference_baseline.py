@@ -148,20 +148,28 @@ def main():
             "sample_mean_norm": float(np.linalg.norm(samples.mean(axis=0))),
             "shape": list(Y.shape),
         }
-    elif mode == "cv":
+    elif mode in ("cv", "cv_stevenson"):
         import funs.util as util  # noqa: E402
 
-        n_train = max(Y.shape[0] - 2, 2)
+        if mode == "cv":
+            n_train, n_test, max_xdim = max(Y.shape[0] - 2, 2), 2, 3
+        else:
+            # the feasible Stevenson slice (round-4 bench row): first 10
+            # trials train / next 2 test, xdim sweep 1..5 — the SAME slice
+            # pgpfa's bench.py stevenson_cv row runs.
+            n_train, n_test, max_xdim = 10, 2, 5
         t0 = time.time()
         cv = util.crossValidation(
-            exp, numTrainingTrials=n_train, numTestTrials=2,
-            maxXdim=3, maxEMiter=n_iters,
+            exp, numTrainingTrials=n_train, numTestTrials=n_test,
+            maxXdim=max_xdim, maxEMiter=n_iters,
         )
         elapsed = time.time() - t0
         out = {
             "mode": mode,
             "total_sec": elapsed,
-            "max_xdim": 3,
+            "max_xdim": max_xdim,
+            "n_train": n_train,
+            "n_test": n_test,
             "n_iters": n_iters,
             "optim_xdim": int(cv.optimXdim),
             "errs": [float(e) for e in cv.errs],

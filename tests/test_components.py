@@ -312,3 +312,28 @@ def test_mcmc_batched_agrees_with_laplace(small):
         assert np.max(np.abs(mcmc_mean - lap_mean) / lap_sd) < 0.5
         mcmc_sd = samples.std(axis=0)
         np.testing.assert_allclose(mcmc_sd, lap_sd, rtol=0.35)
+
+
+def test_mcmc_prior_chol_guard_on_ill_conditioned_kernel():
+    """The guarded prior factor must stay finite where a raw f32 Cholesky
+    fails (round-3 advisor: kappa(K) ~ 1e7 kernels NaN the f32 factor and
+    previously NaN-ed every sample silently)."""
+    import jax.numpy as jnp
+
+    from pgpfa.infer.mcmc import _prior_chol
+    from pgpfa.models.params import rbf_kernel
+    from pgpfa.ops.blockmat import chol32
+
+    # long trial + long timescale + tiny jitter: kappa(K) >> 1e7
+    K = rbf_kernel(jnp.asarray([5.0]), 400, 10.0, 1e-6)
+    assert not bool(jnp.all(jnp.isfinite(chol32(K)))), (
+        "test premise: the raw f32 factor must fail on this kernel"
+    )
+    L = _prior_chol(K, jnp.float64)
+    assert bool(jnp.all(jnp.isfinite(L)))
+    # the factor must reproduce a usable prior draw covariance: L L^T ~ K
+    # (jitter-retry perturbs the diagonal at <= 1e-5 relative; f64 fallback
+    # is exact)
+    rec = jnp.einsum("ktu,kvu->ktv", L, L)
+    err = float(jnp.max(jnp.abs(rec - K)) / jnp.max(jnp.abs(K)))
+    assert err < 1e-4
