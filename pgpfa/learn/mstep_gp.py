@@ -175,11 +175,12 @@ def learn_tau(
             h_reg = (0.25 * tau**2 + (tau - old[k]) * 0.25 * tau) / stepsize**2
             return g + g_reg, h + h_reg
 
-    x, f = _run_tau_newton(p0, lane, cost_fn, gh_fn, maxiter)
+    x, f, acc = _run_tau_newton(p0, lane, cost_fn, gh_fn, maxiter)
 
+    # niter = per-latent ACCEPTED iteration counts (the stall diagnostic for
+    # learningDetails); the scan always runs the fixed maxiter budget
     return TauResult(
-        tau=log_gamma_to_tau(x, bin_size_ms), cost=f,
-        niter=jnp.full((xdim,), maxiter, dtype=jnp.int32),
+        tau=log_gamma_to_tau(x, bin_size_ms), cost=f, niter=acc,
     )
 
 
@@ -293,10 +294,10 @@ def learn_tau_banded(
                 p, means_blk[:, k], Vd[k], Vo[k], num_trials, eps) + reg
 
     vg = jax.vmap(jax.value_and_grad(cost_one), in_axes=(0, 0))
-    x, f = _run_tau_secant(p0, jnp.arange(xdim), vg, maxiter)
+    x, f, acc = _run_tau_secant(p0, jnp.arange(xdim), vg, maxiter)
+    # niter = per-latent accepted iterations (see _run_tau_newton)
     return TauResult(
-        tau=log_gamma_to_tau(x, bin_size_ms), cost=f,
-        niter=jnp.full((xdim,), maxiter, dtype=jnp.int32),
+        tau=log_gamma_to_tau(x, bin_size_ms), cost=f, niter=acc,
     )
 
 
@@ -313,7 +314,7 @@ def _run_tau_secant(p0, lane, vg, n_iter):
     lane2 = jnp.concatenate([lane, lane])
 
     def body(carry, _):
-        x, f, g, xp, gp = carry
+        x, f, g, xp, gp, acc = carry
         dx = x - xp
         h = jnp.where(jnp.abs(dx) > 1e-14, (g - gp) / jnp.where(dx == 0, 1.0, dx), 0.0)
         ok = jnp.isfinite(h) & (h > 1e-10)
@@ -340,15 +341,16 @@ def _run_tau_secant(p0, lane, vg, n_iter):
             jnp.where(better, g_new, g),
             jnp.where(better, x, x_new),
             jnp.where(better, g, g_new),
+            acc + better.astype(jnp.int32),
         ), None
 
     f0, g0 = vg(p0, lane)
     # bootstrap the secant pair with a small probe displacement
     xp0 = p0 + 0.05
     fp0, gp0 = vg(xp0, lane)
-    carry0 = (p0, f0, g0, xp0, gp0)
-    (x, f, _, _, _), _ = jax.lax.scan(body, carry0, None, length=n_iter)
-    return x, f
+    carry0 = (p0, f0, g0, xp0, gp0, jnp.zeros_like(lane, dtype=jnp.int32))
+    (x, f, _, _, _, acc), _ = jax.lax.scan(body, carry0, None, length=n_iter)
+    return x, f, acc
 
 
 def _run_tau_newton(p0, lane, cost_fn, gh_fn, n_iter):
@@ -370,7 +372,7 @@ def _run_tau_newton(p0, lane, cost_fn, gh_fn, n_iter):
     lane2 = jnp.concatenate([lane, lane])
 
     def body(carry, _):
-        x, f = carry
+        x, f, acc = carry
         g, h = vgh(lane, x)
         newton = g / jnp.maximum(h, 1e-12)
         step = jnp.where(h > 1e-12, newton, jnp.clip(g, -1.0, 1.0))
@@ -387,7 +389,10 @@ def _run_tau_newton(p0, lane, cost_fn, gh_fn, n_iter):
         f_new = jnp.where(use2, f2, f1)
         x_new = jnp.where(use2, cand2, cand1)
         better = f_new < f
-        return (jnp.where(better, x_new, x), jnp.where(better, f_new, f)), None
+        return (jnp.where(better, x_new, x), jnp.where(better, f_new, f),
+                acc + better.astype(jnp.int32)), None
 
-    (x, f), _ = jax.lax.scan(body, (p0, vcost(lane, p0)), None, length=n_iter)
-    return x, f
+    acc0 = jnp.zeros_like(lane, dtype=jnp.int32)
+    (x, f, acc), _ = jax.lax.scan(
+        body, (p0, vcost(lane, p0), acc0), None, length=n_iter)
+    return x, f, acc

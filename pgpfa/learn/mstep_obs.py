@@ -263,7 +263,7 @@ def learn_cd_newton(
         # at half the exp count. All comparisons are exact f64, so the
         # iterates stay deterministic across compilation contexts (the
         # fused-fit == host-loop equality test pins this).
-        th, f, rate, tdamp = carry
+        th, f, rate, tdamp, acc = carry
         g, H = grad_hess(th, rate)
         # SPD solve via f32 Cholesky + refinement: f64 LU/trisolve are
         # unusable on TPU (see pgpfa/ops/blockmat.py).
@@ -287,17 +287,22 @@ def learn_cd_newton(
             jnp.where(better, jnp.minimum(f_c, f), f),
             jnp.where(b2, rate_c, rate),
             jnp.where(better, jnp.ones_like(tdamp), 0.25 * tdamp),
+            acc + jnp.any(better).astype(jnp.int32),
         ), None
 
     rate0, _ = rates(theta0)
     tdamp0 = jnp.ones((ydim,), dtype=dt)
-    carry0 = (theta0, cost_from(theta0, rate0), rate0, tdamp0)
-    (th, f_n, rate_f, _), _ = jax.lax.scan(body, carry0, None, length=n_iter)
+    carry0 = (theta0, cost_from(theta0, rate0), rate0, tdamp0,
+              jnp.asarray(0, dtype=jnp.int32))
+    (th, f_n, rate_f, _, acc), _ = jax.lax.scan(body, carry0, None, length=n_iter)
     g, _ = grad_hess(th, rate_f)
     C, d = th[:, :-1], th[:, -1]
+    # niter = EFFECTIVE iterations (scan steps where >= 1 neuron accepted a
+    # step), the stall diagnostic for learningDetails — the scan itself always
+    # runs the fixed n_iter budget (branchless TPU control flow)
     return CdResult(
         C=C, d=d, cost=jnp.sum(f_n), grad_norm=jnp.max(jnp.abs(g)),
-        niter=jnp.asarray(n_iter),
+        niter=acc,
     )
 
 
