@@ -288,9 +288,12 @@ def test_high_data_loader(tmp_path):
     assert ds.raster.shape == (ydim, 20 * R)
 
 
-def test_mcmc_batched_agrees_with_laplace(small):
-    """The branchless vmapped ESS (fixed shrinkage, the TPU throughput path)
-    samples the same posterior as the while_loop single-chain sampler."""
+@pytest.mark.parametrize("shrink", ["adaptive", "fixed"])
+def test_mcmc_batched_agrees_with_laplace(small, shrink):
+    """Both batched ESS transitions — 'adaptive' (one early-exit while_loop
+    over all chains, the round-4 default) and 'fixed' (branchless 40-shrink
+    lockstep scan) — sample the same posterior, checked against the Laplace
+    moments."""
     train, _ = small
     from pgpfa.infer.laplace import laplace_estep_from_arrays
     from pgpfa.infer.mcmc import posterior_mcmc_batched
@@ -302,7 +305,7 @@ def test_mcmc_batched_agrees_with_laplace(small):
     inf, _ = laplace_estep_from_arrays(C, d, tau, Y[:2], train.T, 20.0)
 
     res = posterior_mcmc_batched(C, d, tau, Y[:2], train.T, 20.0,
-                                 n_samples=4000, seed=1)
+                                 n_samples=4000, seed=1, shrink=shrink)
     assert res.samples.shape[:2] == (2, 4000)
     for r in range(2):
         samples = np.asarray(res.samples[r])[1000:]
@@ -337,3 +340,26 @@ def test_mcmc_prior_chol_guard_on_ill_conditioned_kernel():
     rec = jnp.einsum("ktu,kvu->ktv", L, L)
     err = float(jnp.max(jnp.abs(rec - K)) / jnp.max(jnp.abs(K)))
     assert err < 1e-4
+
+
+def test_cross_validation_padded_equals_unpadded(small):
+    """pad_xdim=True (one compiled shape for the whole sweep) must reproduce
+    the unpadded sweep: the zero-column embedding is exact, not an
+    approximation (see pgpfa/diag/crossval.py docstring)."""
+    import numpy as np
+
+    from pgpfa.diag.crossval import crossValidation
+
+    train, init = small
+    cv_pad = crossValidation(train, numTrainingTrials=3, numTestTrials=2,
+                             maxXdim=3, maxEMiter=2, pad_xdim=True)
+    cv_raw = crossValidation(train, numTrainingTrials=3, numTestTrials=2,
+                             maxXdim=3, maxEMiter=2, pad_xdim=False)
+    np.testing.assert_allclose(cv_pad.errs, cv_raw.errs, rtol=1e-8)
+    assert cv_pad.optimXdim == cv_raw.optimXdim
+    # the padded fit's extra columns stayed EXACTLY zero through EM, and the
+    # stripped user-facing params match the unpadded fit closely
+    for k, (fp, fr) in enumerate(zip(cv_pad.fits, cv_raw.fits), start=1):
+        assert np.asarray(fp.C).shape == (train.ydim, k)
+        np.testing.assert_allclose(np.asarray(fp.C), np.asarray(fr.C),
+                                   rtol=0, atol=1e-8)
