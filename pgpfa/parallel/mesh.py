@@ -42,6 +42,25 @@ def make_mesh(devices: Optional[Sequence] = None, axis_name: str = TRIAL_AXIS) -
     return Mesh(np.asarray(devices), axis_names=(axis_name,))
 
 
+def mesh_for_trials(
+    n_trials: int,
+    devices: Optional[Sequence] = None,
+    axis_name: str = TRIAL_AXIS,
+) -> Mesh:
+    """A 1-D trial-DP mesh over the LARGEST device count that divides
+    ``n_trials`` (GSPMD requires the sharded axis divisible by the mesh).
+
+    With e.g. 7 trials on 8 devices this returns a 7-device mesh; a prime
+    trial count falls back to however many devices divide it (worst case 1).
+    Exactness is unaffected — only how many chips participate.
+    """
+    devices = list(devices) if devices is not None else jax.devices()
+    n = len(devices)
+    while n > 1 and n_trials % n:
+        n -= 1
+    return Mesh(np.asarray(devices[:n]), axis_names=(axis_name,))
+
+
 def trial_sharding(mesh: Mesh, axis_name: str = TRIAL_AXIS) -> NamedSharding:
     """Shard the leading (trial) axis across the mesh; replicate the rest."""
     return NamedSharding(mesh, P(axis_name))

@@ -32,7 +32,7 @@ from pgpfa.learn.mstep_gp import pauto_sum
 from pgpfa.models.params import Params, rbf_kernel
 from pgpfa.ops.blockmat import assemble_hessian, blocks_inv, cov_views, inv_psd_mixed
 from pgpfa.models.poisson_gpfa import hessian_weights, linear_predictor
-from pgpfa.parallel.mesh import TRIAL_AXIS, make_mesh, replicated, trial_sharding
+from pgpfa.parallel.mesh import TRIAL_AXIS, mesh_for_trials, replicated, trial_sharding
 
 
 def fit_sharded(
@@ -49,10 +49,13 @@ def fit_sharded(
     only the device placement differs.
     """
     cfg = config or FitConfig()
-    mesh = mesh or make_mesh()
     p = init_params if isinstance(init_params, Params) else Params.from_dict(init_params)
     Y = jnp.asarray(Y, dtype=p.C.dtype)
     T = Y.shape[-1]
+    # default mesh: the largest device count dividing the trial count (GSPMD
+    # needs the sharded axis divisible by the mesh; 7 trials on 8 devices
+    # otherwise raises)
+    mesh = mesh or mesh_for_trials(Y.shape[0])
 
     rep = replicated(mesh)
     Y_sh = jax.device_put(Y, trial_sharding(mesh))

@@ -116,3 +116,23 @@ def test_sharded_variational_fit_matches_single_device(data):
         rtol=1e-6,
     )
     np.testing.assert_allclose(np.asarray(sharded.C), np.asarray(single.C), atol=1e-5)
+
+
+def test_fit_multihost_single_process_equals_fit_sharded(data):
+    """The jax.distributed-ready entry point (pgpfa/parallel/distributed.py)
+    reduces exactly to fit_sharded in a single-process session — same jitted
+    program, same placement — so the multi-host code path is testable on the
+    virtual mesh. On a real slice only the array-assembly step differs
+    (make_array_from_process_local_data of each host's local trials)."""
+    from pgpfa.parallel.distributed import fit_multihost, init_distributed
+
+    assert init_distributed() is False  # no launcher env: must be a no-op
+
+    train, init = data
+    cfg = FitConfig(max_em_iter=3)
+    mesh = make_mesh()
+    a = fit_sharded(init, train.Y, 20.0, cfg, mesh=mesh)
+    b = fit_multihost(init, train.Y, 20.0, cfg, mesh=mesh)
+    np.testing.assert_array_equal(np.asarray(a.post_loglik), np.asarray(b.post_loglik))
+    np.testing.assert_array_equal(np.asarray(a.C), np.asarray(b.C))
+    np.testing.assert_array_equal(np.asarray(a.tau), np.asarray(b.tau))
