@@ -590,6 +590,85 @@ def secondary_configs(file=sys.stderr, iters: int = 10):
     except Exception as e:  # noqa: BLE001
         emit({"metric": "MCMC Stevenson-scale", "error": str(e)[:200]})
 
+    # Stevenson-scale VI (BASELINE.json config 2 at flagship scale). The
+    # reference's bounded-lambda dual solve (funs/inference.py:315-324) takes
+    # >10 min PER TRIAL at this shape — one 100-trial EM iteration is >17 h —
+    # so the measured baseline (scripts/measure_stevenson_baselines.py) runs a
+    # trial slice and pgpfa runs the SAME slice for vs_baseline, plus the full
+    # 100 trials for the absolute number (the reference's E/M loops are linear
+    # in trials, so slice sec/iter extrapolates linearly; noted in the JSON).
+    vi_big = _load("BASELINE_MEASURED_VI_STEVENSON.json")
+    try:
+        n_slice = int((vi_big or {}).get("n_trials_slice", 10))
+        it_vi = 3
+        cfg_vi = FitConfig(inference_method="variational", max_em_iter=it_vi)
+        for Y_vi, label, with_base in [
+            (ds.Y[:n_slice], f"variational-EM, Stevenson-shaped ({n_slice}-trial slice)", True),
+            (ds.Y, "variational-EM, Stevenson-shaped (full 100 trials)", False),
+        ]:
+            # host-loop ONLY at this scale: the fused whole-EM variational
+            # program (scan{while_loop{scan}} over a 12,600-dim dual) crashed
+            # this tunneled v5e's TPU worker at the Stevenson shape (toy
+            # shapes are fine) — attempting it here would poison the whole
+            # bench process. Documented in README "Known performance limits".
+            run, path = fit_loop, "host-loop"
+            res = run(init, Y_vi, ds.binSize, cfg_vi)  # compile
+            float(np.asarray(res.post_loglik)[-1])
+            t0 = time.time()
+            res = run(init, Y_vi, ds.binSize, cfg_vi)
+            float(np.asarray(res.post_loglik)[-1])
+            dt = time.time() - t0
+            rec = {"metric": label, "value": round(it_vi / dt, 4),
+                   "unit": "EM iters/sec", "path": path}
+            if vi_big:
+                sec = dt / it_vi
+                if with_base:
+                    rec["vs_baseline"] = round(vi_big["sec_per_iter"] / sec, 2)
+                    ref_vlb = np.asarray(vi_big.get("var_lower_bound", []))
+                    if len(ref_vlb):
+                        vlb0 = float(np.asarray(res.var_lower_bound)[0])
+                        rec["first_iter_vlb_absdiff_vs_reference"] = abs(vlb0 - float(ref_vlb[0]))
+                        rec["first_iter_vlb_reldiff_vs_reference"] = abs(
+                            (vlb0 - float(ref_vlb[0])) / float(ref_vlb[0]))
+                else:
+                    scale = Y_vi.shape[0] / n_slice
+                    rec["vs_baseline_extrapolated"] = round(
+                        vi_big["sec_per_iter"] * scale / sec, 2)
+                    rec["baseline_note"] = (
+                        "reference per-trial scipy loop extrapolated linearly "
+                        f"from the measured {n_slice}-trial slice")
+            emit(rec)
+    except Exception as e:  # noqa: BLE001
+        emit({"metric": "variational-EM Stevenson-scale", "error": str(e)[:200]})
+
+    # Stevenson-scale CV latent-dim sweep (the second half of BASELINE.json
+    # config 4 — VERDICT r3 item 1): the SAME feasible slice measured on the
+    # reference (first 10 trials train / next 2 test, xdim 1..5, 3 EM iters;
+    # funs/util.py:180-251). pad_xdim shares ONE compiled program shape
+    # across the sweep (pgpfa/diag/crossval.py).
+    cv_big = _load("BASELINE_MEASURED_CV_STEVENSON.json")
+    try:
+        import pgpfa as _p
+
+        def _cv_sweep():
+            return _p.crossValidation(
+                ds, numTrainingTrials=10, numTestTrials=2,
+                maxXdim=5, maxEMiter=3)
+
+        cv = _cv_sweep()  # compile (one program shape for the whole sweep)
+        t0 = time.time()
+        cv = _cv_sweep()
+        dt = time.time() - t0
+        rec = {"metric": "CV latent-dim sweep, Stevenson-shaped (10tr train/2 test, maxXdim=5, 3 EM iters)",
+               "value": round(dt, 2), "unit": "sec total",
+               "optim_xdim": int(cv.optimXdim)}
+        if cv_big:
+            rec["vs_baseline"] = round(cv_big["total_sec"] / dt, 2)
+            rec["ref_optim_xdim"] = int(cv_big["optim_xdim"])
+        emit(rec)
+    except Exception as e:  # noqa: BLE001
+        emit({"metric": "CV sweep Stevenson-scale", "error": str(e)[:200]})
+
     return records
 
 
