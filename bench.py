@@ -600,12 +600,13 @@ def secondary_configs(file=sys.stderr, iters: int = 10):
     vi_big = _load("BASELINE_MEASURED_VI_STEVENSON.json")
     try:
         n_slice = int((vi_big or {}).get("n_trials_slice", 10))
-        it_vi = 3
-        cfg_vi = FitConfig(inference_method="variational", max_em_iter=it_vi)
-        for Y_vi, label, with_base in [
-            (ds.Y[:n_slice], f"variational-EM, Stevenson-shaped ({n_slice}-trial slice)", True),
-            (ds.Y, "variational-EM, Stevenson-shaped (full 100 trials)", False),
+        for Y_vi, label, with_base, it_vi in [
+            (ds.Y[:n_slice], f"variational-EM, Stevenson-shaped ({n_slice}-trial slice)", True, 3),
+            # full scale: ONE timed iteration (each host-loop iteration is an
+            # independently-dispatched program; run-to-run spread ~5%)
+            (ds.Y, "variational-EM, Stevenson-shaped (full 100 trials)", False, 1),
         ]:
+            cfg_vi = FitConfig(inference_method="variational", max_em_iter=it_vi)
             # host-loop ONLY at this scale: the fused whole-EM variational
             # program (scan{while_loop{scan}} over a 12,600-dim dual) crashed
             # this tunneled v5e's TPU worker at the Stevenson shape (toy
@@ -622,8 +623,16 @@ def secondary_configs(file=sys.stderr, iters: int = 10):
                    "unit": "EM iters/sec", "path": path}
             if vi_big:
                 sec = dt / it_vi
+                # the reference measurement may be a LOWER BOUND: one
+                # bounded-L-BFGS-B dual solve at this shape did not finish
+                # within the recorded wall-clock (vs_baseline is then
+                # "at least" — still measured, not assumed)
+                bound = bool(vi_big.get("lower_bound", False))
+                ref_sec = vi_big.get("sec_per_iter",
+                                     vi_big.get("sec_per_iter_lower_bound"))
+                key = "vs_baseline_at_least" if bound else "vs_baseline"
                 if with_base:
-                    rec["vs_baseline"] = round(vi_big["sec_per_iter"] / sec, 2)
+                    rec[key] = round(ref_sec / sec, 2)
                     ref_vlb = np.asarray(vi_big.get("var_lower_bound", []))
                     if len(ref_vlb):
                         vlb0 = float(np.asarray(res.var_lower_bound)[0])
@@ -632,11 +641,12 @@ def secondary_configs(file=sys.stderr, iters: int = 10):
                             (vlb0 - float(ref_vlb[0])) / float(ref_vlb[0]))
                 else:
                     scale = Y_vi.shape[0] / n_slice
-                    rec["vs_baseline_extrapolated"] = round(
-                        vi_big["sec_per_iter"] * scale / sec, 2)
+                    rec[key + "_extrapolated"] = round(ref_sec * scale / sec, 2)
                     rec["baseline_note"] = (
                         "reference per-trial scipy loop extrapolated linearly "
                         f"from the measured {n_slice}-trial slice")
+                if bound:
+                    rec["baseline_lower_bound_note"] = vi_big.get("note", "")[:200]
             emit(rec)
     except Exception as e:  # noqa: BLE001
         emit({"metric": "variational-EM Stevenson-scale", "error": str(e)[:200]})
