@@ -673,8 +673,18 @@ def secondary_configs(file=sys.stderr, iters: int = 10):
                "value": round(dt, 2), "unit": "sec total",
                "optim_xdim": int(cv.optimXdim)}
         if cv_big:
-            rec["vs_baseline"] = round(cv_big["total_sec"] / dt, 2)
+            # prefer the contention-corrected reference time when present
+            # (conservative: it LOWERS the reported speedup; see the
+            # contention_note in BASELINE_MEASURED_CV_STEVENSON.json)
+            ref_sec = cv_big.get("total_sec_contention_corrected",
+                                 cv_big["total_sec"])
+            rec["vs_baseline"] = round(ref_sec / dt, 2)
             rec["ref_optim_xdim"] = int(cv_big["optim_xdim"])
+            ref_errs = np.asarray(cv_big.get("errs", []))
+            ours_errs = np.asarray(cv.errs)[: len(ref_errs)]
+            if len(ref_errs):
+                rec["errs_max_reldiff_vs_reference"] = float(
+                    np.max(np.abs(ours_errs - ref_errs) / np.abs(ref_errs)))
         emit(rec)
     except Exception as e:  # noqa: BLE001
         emit({"metric": "CV sweep Stevenson-scale", "error": str(e)[:200]})

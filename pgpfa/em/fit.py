@@ -108,6 +108,17 @@ class FitConfig:
     # (pgpfa/infer/laplace_longt.py, pgpfa/infer/variational_longt.py).
     time_block: Optional[int] = None
     banded_newton_iters: int = 12
+    # HOST-LOOP only: run the variational E-step over trial chunks of this
+    # size instead of one all-trials vmap. On this tunneled v5e the batched
+    # dual L-BFGS program crashes the TPU worker once the vmap width reaches
+    # ~50 trials at the Stevenson shape (90n x 140t; toy shapes and widths
+    # <=25 run fine) — trial chunking keeps every dispatched program at a
+    # proven width while the host loop covers the full trial set. Chunk
+    # boundaries only regroup the early-exit stall test across trials, so
+    # results differ from the monolithic program only below the per-trial
+    # stall slack (same equality semantics as vi_maxiter_warm). Ignored by
+    # the fused :func:`fit` and by laplace inference.
+    vi_trial_chunk: Optional[int] = None
 
     def __post_init__(self):
         if self.inference_method not in ("laplace", "variational"):
@@ -504,6 +515,36 @@ def _phase_programs(T: int, bin_size_ms: float, cfg: FitConfig):
     return estep, mstep_batch, mstep_online
 
 
+def _chunked_estep(estep, chunk: int):
+    """Host-side trial-chunked wrapper around a jitted E-step program.
+
+    Dispatches ``estep`` on ``chunk``-trial slices and concatenates the
+    results. The per-trial posterior quantities are independent given the
+    parameters, so the concatenation is exact; only the VI dual solver's
+    batched early-exit grouping changes (below its stall slack — see
+    :attr:`FitConfig.vi_trial_chunk`). The scalar objectives are
+    trial-count-weighted so ragged final chunks average correctly.
+    """
+    from pgpfa.infer.laplace import InfRes
+
+    def run(C, d, tau, Yb, warm):
+        R = Yb.shape[0]
+        outs = []
+        for s in range(0, R, chunk):
+            w = None if warm is None else warm[s : s + chunk]
+            outs.append(estep(C, d, tau, Yb[s : s + chunk], w))
+        infs, plls, vlbs, warms = zip(*outs)
+        wts = jnp.asarray([i.post_mean.shape[0] / R for i in infs],
+                          dtype=jnp.asarray(plls[0]).dtype)
+        cat = lambda xs: None if xs[0] is None else jnp.concatenate(xs, axis=0)
+        inf = InfRes(*(cat([getattr(i, f) for i in infs]) for f in InfRes._fields))
+        pll = jnp.sum(jnp.stack(plls) * wts)
+        vlb = jnp.sum(jnp.stack(vlbs) * wts)
+        return inf, pll, vlb, cat(list(warms))
+
+    return run
+
+
 def fit_loop(
     init_params,
     Y,
@@ -544,6 +585,10 @@ def fit_loop(
     xdim = p.C.shape[1]
     key = jax.random.PRNGKey(seed)
     estep, mstep_batch, mstep_online = _phase_programs(T, float(bin_size_ms), cfg)
+    if (cfg.vi_trial_chunk is not None
+            and cfg.inference_method == "variational"
+            and R > cfg.vi_trial_chunk):
+        estep = _chunked_estep(estep, cfg.vi_trial_chunk)
 
     C, d, tau = p.C, p.d, p.tau
     warm = None

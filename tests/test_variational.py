@@ -48,3 +48,31 @@ def test_vi_warm_start(problem):
     inf1, pll1, vlb1, rho1 = vi_estep_from_arrays(*args)
     inf2, pll2, vlb2, _ = vi_estep_from_arrays(*args, rho_init=rho1)
     np.testing.assert_allclose(float(vlb2), float(vlb1), atol=1e-7)
+
+
+def test_vi_trial_chunked_fit_loop_matches_monolithic(problem):
+    """FitConfig.vi_trial_chunk regroups the batched dual solves without
+    changing the math: the chunked host-loop fit must match the monolithic
+    one to the per-trial stall slack (f64: far below the 1e-5 converged-
+    bound parity budget). Guards the Stevenson-scale bench path, where the
+    full-width program crashes the tunneled TPU's worker."""
+    from pgpfa.em.fit import FitConfig, fit_loop
+
+    p = problem
+    init = {"C": p["C"], "d": p["d"], "tau": p["tau"]}
+    cfg_m = FitConfig(inference_method="variational", max_em_iter=3)
+    cfg_c = FitConfig(inference_method="variational", max_em_iter=3,
+                      vi_trial_chunk=2)  # R=3 -> chunks of 2 + ragged 1
+    rm = fit_loop(init, p["Y"], p["bin_ms"], cfg_m)
+    rc = fit_loop(init, p["Y"], p["bin_ms"], cfg_c)
+    # the regrouped early exit perturbs each trial's dual stopping point by
+    # ~its stall slack (measured 2.4e-9 at iteration 1) and EM chaos
+    # amplifies it ~4-5x/iteration (CLAUDE.md item 11; 2e-8 by iteration 3)
+    np.testing.assert_allclose(float(rc.post_loglik[0]),
+                               float(rm.post_loglik[0]), rtol=0, atol=1e-8)
+    np.testing.assert_allclose(np.asarray(rc.post_loglik),
+                               np.asarray(rm.post_loglik), rtol=0, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(rc.var_lower_bound),
+                               np.asarray(rm.var_lower_bound), rtol=0, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(rc.C), np.asarray(rm.C), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(rc.tau), np.asarray(rm.tau), atol=1e-5)
