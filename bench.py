@@ -599,30 +599,40 @@ def secondary_configs(file=sys.stderr, iters: int = 10):
     # in trials, so slice sec/iter extrapolates linearly; noted in the JSON).
     vi_big = _load("BASELINE_MEASURED_VI_STEVENSON.json")
     try:
+        # Each measurement runs in a FRESH subprocess (scripts/
+        # bench_vi_stevenson.py): the fused whole-EM variational program and
+        # any >=25-wide vmapped dual solve CRASH this tunneled v5e's TPU
+        # worker at the Stevenson shape (width probes: 10 ok, 25/50/100
+        # crash), and even at the proven 10-trial chunk width the worker
+        # WEDGES (hangs without error) after ~10-20 dual dispatches in one
+        # process — one full-100 EM iteration (10 chunk dispatches) completes
+        # reliably, a second call in the same process does not. A subprocess
+        # per measurement keeps the worker fresh and cannot poison the rest
+        # of the bench. The persistent compile cache makes the subprocess
+        # wall time execution-dominated; the residual in-process trace/cache
+        # overhead biases the reported speedup DOWN (conservative). README
+        # "Known performance limits".
         n_slice = int((vi_big or {}).get("n_trials_slice", 10))
-        for Y_vi, label, with_base, it_vi in [
-            (ds.Y[:n_slice], f"variational-EM, Stevenson-shaped ({n_slice}-trial slice)", True, 3),
-            # full scale: ONE timed iteration (each host-loop iteration is an
-            # independently-dispatched program; run-to-run spread ~5%)
-            (ds.Y, "variational-EM, Stevenson-shaped (full 100 trials)", False, 1),
+
+        def _vi_subproc(n_trials, n_iters):
+            r = sp.run([sys.executable,
+                        os.path.join(REPO, "scripts/bench_vi_stevenson.py"),
+                        str(n_trials), str(n_iters)],
+                       capture_output=True, text=True, timeout=3600)
+            line = [l for l in r.stdout.splitlines() if l.startswith("{")][-1]
+            return json.loads(line)
+
+        for n_tr, label, with_base, it_vi in [
+            (n_slice, f"variational-EM, Stevenson-shaped ({n_slice}-trial slice)", True, 3),
+            (100, "variational-EM, Stevenson-shaped (full 100 trials)", False, 1),
         ]:
-            cfg_vi = FitConfig(inference_method="variational", max_em_iter=it_vi)
-            # host-loop ONLY at this scale: the fused whole-EM variational
-            # program (scan{while_loop{scan}} over a 12,600-dim dual) crashed
-            # this tunneled v5e's TPU worker at the Stevenson shape (toy
-            # shapes are fine) — attempting it here would poison the whole
-            # bench process. Documented in README "Known performance limits".
-            run, path = fit_loop, "host-loop"
-            res = run(init, Y_vi, ds.binSize, cfg_vi)  # compile
-            float(np.asarray(res.post_loglik)[-1])
-            t0 = time.time()
-            res = run(init, Y_vi, ds.binSize, cfg_vi)
-            float(np.asarray(res.post_loglik)[-1])
-            dt = time.time() - t0
-            rec = {"metric": label, "value": round(it_vi / dt, 4),
-                   "unit": "EM iters/sec", "path": path}
+            _vi_subproc(n_tr, it_vi)  # populate the persistent compile cache
+            out = _vi_subproc(n_tr, it_vi)  # timed: cache-warm, fresh worker
+            sec = out["sec_per_iter"]
+            rec = {"metric": label, "value": round(1.0 / sec, 4),
+                   "unit": "EM iters/sec",
+                   "path": "host-loop (vi_trial_chunk=10, fresh subprocess)"}
             if vi_big:
-                sec = dt / it_vi
                 # the reference measurement may be a LOWER BOUND: one
                 # bounded-L-BFGS-B dual solve at this shape did not finish
                 # within the recorded wall-clock (vs_baseline is then
@@ -635,12 +645,12 @@ def secondary_configs(file=sys.stderr, iters: int = 10):
                     rec[key] = round(ref_sec / sec, 2)
                     ref_vlb = np.asarray(vi_big.get("var_lower_bound", []))
                     if len(ref_vlb):
-                        vlb0 = float(np.asarray(res.var_lower_bound)[0])
+                        vlb0 = float(out["var_lower_bound"][0])
                         rec["first_iter_vlb_absdiff_vs_reference"] = abs(vlb0 - float(ref_vlb[0]))
                         rec["first_iter_vlb_reldiff_vs_reference"] = abs(
                             (vlb0 - float(ref_vlb[0])) / float(ref_vlb[0]))
                 else:
-                    scale = Y_vi.shape[0] / n_slice
+                    scale = n_tr / n_slice
                     rec[key + "_extrapolated"] = round(ref_sec * scale / sec, 2)
                     rec["baseline_note"] = (
                         "reference per-trial scipy loop extrapolated linearly "

@@ -111,9 +111,10 @@ class FitConfig:
     # HOST-LOOP only: run the variational E-step over trial chunks of this
     # size instead of one all-trials vmap. On this tunneled v5e the batched
     # dual L-BFGS program crashes the TPU worker once the vmap width reaches
-    # ~50 trials at the Stevenson shape (90n x 140t; toy shapes and widths
-    # <=25 run fine) — trial chunking keeps every dispatched program at a
-    # proven width while the host loop covers the full trial set. Chunk
+    # ~25 trials at the Stevenson shape (90n x 140t; width probes: 10
+    # survives, 25/50/100 crash; toy shapes run fine at any width) — trial
+    # chunking keeps every dispatched program at a proven width while the
+    # host loop covers the full trial set. Chunk
     # boundaries only regroup the early-exit stall test across trials, so
     # results differ from the monolithic program only below the per-trial
     # stall slack (same equality semantics as vi_maxiter_warm). Ignored by
