@@ -619,11 +619,23 @@ def secondary_configs(file=sys.stderr, iters: int = 10):
                         os.path.join(REPO, "scripts/bench_vi_stevenson.py"),
                         str(n_trials), str(n_iters)],
                        capture_output=True, text=True, timeout=3600)
+            if r.returncode != 0:
+                # surface the actual failure cause instead of an opaque
+                # list-index error on empty stdout (round-4 advisor)
+                raise RuntimeError(
+                    f"bench_vi_stevenson.py exited {r.returncode}: "
+                    f"{r.stderr[-400:]}")
             line = [l for l in r.stdout.splitlines() if l.startswith("{")][-1]
             return json.loads(line)
 
+        # it_vi=1 everywhere vs_baseline is computed: the measured reference
+        # baseline is a single COLD EM iteration (n_iters=1 in
+        # BASELINE_MEASURED_VI_STEVENSON.json), and pgpfa's warm-started
+        # iterations 2+ run a smaller dual budget — averaging them in
+        # inflated the reported speedup (round-4 advisor). The warm-iteration
+        # average is reported separately as a diagnostic.
         for n_tr, label, with_base, it_vi in [
-            (n_slice, f"variational-EM, Stevenson-shaped ({n_slice}-trial slice)", True, 3),
+            (n_slice, f"variational-EM, Stevenson-shaped ({n_slice}-trial slice)", True, 1),
             (100, "variational-EM, Stevenson-shaped (full 100 trials)", False, 1),
         ]:
             _vi_subproc(n_tr, it_vi)  # populate the persistent compile cache
@@ -649,6 +661,12 @@ def secondary_configs(file=sys.stderr, iters: int = 10):
                         rec["first_iter_vlb_absdiff_vs_reference"] = abs(vlb0 - float(ref_vlb[0]))
                         rec["first_iter_vlb_reldiff_vs_reference"] = abs(
                             (vlb0 - float(ref_vlb[0])) / float(ref_vlb[0]))
+                    # warm-started iterations run a smaller dual budget;
+                    # their average is a separate diagnostic, NOT part of
+                    # vs_baseline (round-4 advisor)
+                    warm3 = _vi_subproc(n_tr, 3)
+                    rec["warm_3iter_avg_sec_per_iter"] = round(
+                        warm3["sec_per_iter"], 2)
                 else:
                     scale = n_tr / n_slice
                     rec[key + "_extrapolated"] = round(ref_sec * scale / sec, 2)

@@ -86,29 +86,34 @@ def cd_error_bars(params, Y, means, vsms) -> np.ndarray:
 
 
 def mvnpdf(x, mean, cov) -> float:
-    """Multivariate normal density (reference ``funs/util.py:475-480``)."""
+    """Multivariate normal density (reference ``funs/util.py:475-480``).
+
+    Computed in log space via ``slogdet`` — the reference's raw
+    ``det(cov) ** -0.5`` under/overflows past ~350 dimensions (same
+    robustness policy as :func:`js_logdet_div`)."""
     x = np.ravel(np.asarray(x, dtype=float))
     mean = np.ravel(np.asarray(mean, dtype=float))
     k = x.shape[0]
     resid = x - mean
-    return float(
-        (2 * np.pi) ** (-k / 2)
-        * np.linalg.det(cov) ** (-0.5)
-        * np.exp(-0.5 * resid @ np.linalg.solve(cov, resid))
+    _, logdet = np.linalg.slogdet(cov)
+    log_p = -0.5 * (
+        k * np.log(2 * np.pi) + logdet + resid @ np.linalg.solve(cov, resid)
     )
+    return float(np.exp(log_p))
 
 
 def mvnpdf_use_inv_cov(x, mean, inv_cov) -> float:
-    """MVN density from the precision matrix (reference ``funs/util.py:482-487``)."""
+    """MVN density from the precision matrix (reference ``funs/util.py:482-487``).
+
+    Log-space ``slogdet`` form for the same robustness reason as
+    :func:`mvnpdf`."""
     x = np.ravel(np.asarray(x, dtype=float))
     mean = np.ravel(np.asarray(mean, dtype=float))
     k = x.shape[0]
     resid = x - mean
-    return float(
-        (2 * np.pi) ** (-k / 2)
-        * np.linalg.det(inv_cov) ** 0.5
-        * np.exp(-0.5 * resid @ (inv_cov @ resid))
-    )
+    _, logdet_inv = np.linalg.slogdet(inv_cov)
+    log_p = -0.5 * (k * np.log(2 * np.pi) - logdet_inv + resid @ (inv_cov @ resid))
+    return float(np.exp(log_p))
 
 
 def orthonormalized_trajectories(C: np.ndarray, means: np.ndarray) -> np.ndarray:
