@@ -101,6 +101,13 @@ class FitConfig:
     # (same chaos mechanism, and same parity answer, as CLAUDE.md item 11).
     vi_maxiter_warm: int = 100
     vi_gtol: float = 1e-8
+    # dual solver: 'lbfgs' (rho-space fixed-scan L-BFGS, the round-2 path) or
+    # 'newton' (damped dual-Newton via the Woodbury identity — one posterior-
+    # precision factorization per iteration and ~10-20x fewer of them per
+    # solve; see pgpfa/infer/variational.py:_dual_eval). Both drive the same
+    # dual gradient to vi_gtol, so converged-bound parity holds (tested);
+    # 'newton' is the Stevenson-scale bench path.
+    vi_solver: str = "lbfgs"
     eps_noise: float = 0.001
     # long-trial (banded / block-tridiagonal) E-step: time-block size in bins,
     # or None for the dense path. Must divide T and satisfy
@@ -128,6 +135,8 @@ class FitConfig:
             raise ValueError(f"unknown em_mode {self.em_mode!r}")
         if self.online_update not in ONLINE_UPDATE_METHODS:
             raise ValueError(f"unknown online_update {self.online_update!r}")
+        if self.vi_solver not in ("lbfgs", "newton"):
+            raise ValueError(f"unknown vi_solver {self.vi_solver!r}")
 
 
 class FitResult(NamedTuple):
@@ -197,6 +206,7 @@ def _estep(C, d, tau, Y, T, bin_size_ms, warm, cfg: FitConfig, compute_cov: bool
         rho_init=warm, gtol=cfg.vi_gtol,
         maxiter=cfg.vi_maxiter if warm is None else cfg.vi_maxiter_warm,
         compute_cov=compute_cov, eps_noise=cfg.eps_noise,
+        solver=cfg.vi_solver,
     )
     return inf, pll, vlb, rho
 
@@ -556,9 +566,15 @@ def fit_loop(
     checkpoint_every: int = 10,
     resume_from: Optional[str] = None,
     batch_indices=None,
+    stop_after: Optional[int] = None,
 ) -> FitResult:
     """Host-loop fit: the same jitted phase programs as :func:`fit`, driven by
     a Python loop (one device sync per phase per iteration, ~ms).
+
+    ``stop_after`` ends the loop after that EM iteration (a checkpoint is
+    always written at the stop point when ``checkpoint_path`` is set) — the
+    segment primitive used by :func:`pgpfa.em.isolated.fit_isolated`; the
+    returned histories then cover only the completed iterations.
 
     ``batch_indices`` optionally injects the online-EM minibatch index
     sequence (iterable of int arrays, one per EM iteration) instead of
@@ -639,7 +655,10 @@ def fit_loop(
                          "nwi": np.zeros((start_iter, R_b), np.int32)}
             hists = [extra.get("hist_" + k, _fallback.get(k)) for k in _HIST_KEYS]
             seq = [tuple(jnp.asarray(h[i]) for h in hists) for i in range(start_iter)]
-    for n in range(start_iter, cfg.max_em_iter):
+    end_iter = cfg.max_em_iter
+    if stop_after is not None:
+        end_iter = min(int(stop_after), cfg.max_em_iter)
+    for n in range(start_iter, end_iter):
         if cfg.em_mode == BATCH:
             Yb = Y
             # secant-extrapolated warm start (see _fit_scan.step); first two
@@ -670,7 +689,8 @@ def fit_loop(
                 tau = full_tau
         seq.append((C, d, tau, pll, vlb, cd_c, tau_c,
                     det[0], det[1], det[2], _estep_iters(inf, Yb.shape[0])))
-        if checkpoint_path is not None and (n + 1) % checkpoint_every == 0:
+        if checkpoint_path is not None and (
+                (n + 1) % checkpoint_every == 0 or n + 1 == end_iter):
             from pgpfa.utils.io import save_checkpoint
 
             extra = {"P": np.asarray(P), "cumH": np.asarray(cumH)}
@@ -740,10 +760,15 @@ class PPGPFAfit:
     ):
         # Reference-only kwargs (funs/engine.py:107-128), accepted for verbatim
         # call compatibility and mapped where a TPU-native equivalent exists:
-        # * optimLogLamb: the reference's unconstrained log-lambda dual VI is
-        #   ALWAYS this package's VI parametrization (the bounded L-BFGS-B
-        #   variant has no jit-native equivalent; parity is asserted on the
-        #   converged bound — SURVEY.md §7). Both values are therefore valid.
+        # * optimLogLamb: this class ALWAYS optimizes the dual in rho = log
+        #   lambda space (the reference's optimLogLamb=True variant,
+        #   funs/inference.py:352-399) — the bounded L-BFGS-B over lambda
+        #   (reference default, funs/inference.py:315-324) has no jit-native
+        #   equivalent; parity is asserted on the converged bound (SURVEY.md
+        #   §7) and the bounded path is available as
+        #   pgpfa.compat.inference.dualVariational(optimizeLogLambda=False).
+        #   optimLogLamb=False with variational inference therefore warns
+        #   instead of being silently ignored (VERDICT r4 item 7).
         # * CdOptimMethod/tauOptimMethod: scipy method names; the M-steps here
         #   are batched exact-derivative Newton solvers that reach the same
         #   optima (tested), so the method choice is a no-op (warned).
@@ -759,6 +784,15 @@ class PPGPFAfit:
                     f"{nm}={val!r} is a scipy optimizer name; pgpfa's M-steps "
                     "are exact-derivative Newton solvers and ignore it "
                     "(optima agree — see tests/test_mstep.py)", stacklevel=2)
+        if inferenceMethod == "variational" and not optimLogLamb:
+            warnings.warn(
+                "optimLogLamb=False (the reference's bounded-lambda L-BFGS-B "
+                "dual, funs/inference.py:315-324) is not jit-compatible; "
+                "PPGPFAfit optimizes in rho = log lambda instead (the "
+                "reference's own optimLogLamb=True variant — converged-bound "
+                "parity is tested). For the exact bounded-lambda behavior use "
+                "pgpfa.compat.inference.dualVariational(optimizeLogLambda="
+                "False).", stacklevel=2)
         if hessTol is not None:
             warnings.warn("hessTol is ignored: pgpfa uses exact analytic "
                           "curvature, not finite differences", stacklevel=2)
@@ -801,6 +835,13 @@ class PPGPFAfit:
         key = jax.random.PRNGKey(seed)
 
         estep, mstep_batch, mstep_online = _phase_programs(T, bin_size_ms, cfg)
+        # same trial-chunked E-step wrapper as fit_loop (round-4 advisor: the
+        # class driver silently ignored vi_trial_chunk, so the reference-
+        # compatible surface still hit the documented TPU worker crash)
+        if (cfg.vi_trial_chunk is not None
+                and cfg.inference_method == "variational"
+                and R > cfg.vi_trial_chunk):
+            estep = _chunked_estep(estep, cfg.vi_trial_chunk)
 
         C, d, tau = p.C, p.d, p.tau
         warm = None

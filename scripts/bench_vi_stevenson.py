@@ -11,7 +11,11 @@ persistent compilation cache (~/.cache/pgpfa/jax), so the one-call wall
 time is execution-dominated; it still INCLUDES cache-hit compile/trace
 overhead, which biases the reported speedup DOWN (conservative).
 
-Usage: python scripts/bench_vi_stevenson.py [n_trials] [n_iters]
+Usage: python scripts/bench_vi_stevenson.py [n_trials] [n_iters] [solver]
+
+``solver`` is ``lbfgs`` (default; the round-2/4 chunked path) or ``newton``
+(the round-5 damped dual-Newton solver — a far smaller XLA program that runs
+the full 100-trial batch in ONE dispatch, no trial chunking needed).
 """
 import json
 import os
@@ -29,10 +33,12 @@ from pgpfa.em.fit import FitConfig, fit_loop
 def main():
     n_trials = int(sys.argv[1]) if len(sys.argv) > 1 else 100
     n_iters = int(sys.argv[2]) if len(sys.argv) > 2 else 1
+    solver = sys.argv[3] if len(sys.argv) > 3 else "lbfgs"
     ds, init = build_problem()
     Y = ds.Y[:n_trials]
     cfg = FitConfig(inference_method="variational", max_em_iter=n_iters,
-                    vi_trial_chunk=10)
+                    vi_solver=solver,
+                    vi_trial_chunk=10 if solver == "lbfgs" else None)
     t0 = time.time()
     res = fit_loop(init, Y, ds.binSize, cfg)
     pll = np.asarray(res.post_loglik)
@@ -41,6 +47,7 @@ def main():
     print(json.dumps({
         "n_trials": n_trials,
         "n_iters": n_iters,
+        "solver": solver,
         "total_sec": dt,
         "sec_per_iter": dt / n_iters,
         "post_loglik": pll.tolist(),

@@ -39,6 +39,89 @@ def test_vi_matches_oracle(problem):
     np.testing.assert_allclose(np.asarray(inf.post_mean), np.asarray(means), atol=1e-4)
 
 
+def test_dual_eval_gradient_matches_autodiff(problem):
+    """The dual-Newton solver's analytic rho-space gradient (including the
+    ridge correction to the logdet term) must equal autodiff through
+    ``dual_cost`` — this pins the stationarity condition the Newton and
+    L-BFGS paths share."""
+    import jax
+
+    from pgpfa.infer.variational import _dual_eval, dual_cost
+    from pgpfa.models.params import rbf_kernel
+    from pgpfa.ops.blockmat import blocks_inv
+
+    p = problem
+    C = jnp.asarray(p["C"]); d = jnp.asarray(p["d"])
+    K = rbf_kernel(jnp.asarray(p["tau"]), p["T"], p["bin_ms"], 0.001)
+    Kinv = blocks_inv(K)
+    rng = np.random.default_rng(5)
+    rho = jnp.asarray(0.3 * rng.standard_normal((p["Y"].shape[1], p["T"])))
+    Y0 = jnp.asarray(p["Y"][0])
+    f, g, _ = _dual_eval(rho, Y0, C, d, K, Kinv, 1e-6)
+    f_ref = dual_cost(rho, Y0, C, d, K, Kinv, 1e-6)
+    g_ref = jax.grad(lambda r: dual_cost(r, Y0, C, d, K, Kinv, 1e-6))(rho)
+    np.testing.assert_allclose(float(f), float(f_ref), rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(g), np.asarray(g_ref),
+                               rtol=1e-6, atol=1e-9)
+
+
+def test_newton_solver_matches_lbfgs_and_oracle(problem):
+    """The damped dual-Newton solver reaches the same dual optimum as the
+    L-BFGS path and the scipy oracle (converged-value parity policy,
+    SURVEY.md §7) — in a fraction of the iteration budget."""
+    p = problem
+    args = (
+        jnp.asarray(p["C"]), jnp.asarray(p["d"]), jnp.asarray(p["tau"]),
+        jnp.asarray(p["Y"]), p["T"], p["bin_ms"],
+    )
+    inf_l, pll_l, vlb_l, _ = vi_estep_from_arrays(*args)
+    inf_n, pll_n, vlb_n, rho_n = vi_estep_from_arrays(
+        *args, solver="newton", maxiter=40)
+    np.testing.assert_allclose(float(vlb_n), float(vlb_l), rtol=0, atol=1e-7)
+    np.testing.assert_allclose(float(pll_n), float(pll_l), rtol=0, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(inf_n.post_mean),
+                               np.asarray(inf_l.post_mean), atol=1e-5)
+    # direct oracle cross-check (independent scipy implementation)
+    bounds = [O.vi_infer_trial(p["Y"][r], p["C"], p["d"], p["tau"],
+                               p["bin_ms"])["bound"]
+              for r in range(p["Y"].shape[0])]
+    np.testing.assert_allclose(float(vlb_n), np.mean(bounds), rtol=0, atol=1e-5)
+
+
+def test_newton_solver_warm_start(problem):
+    p = problem
+    args = (
+        jnp.asarray(p["C"]), jnp.asarray(p["d"]), jnp.asarray(p["tau"]),
+        jnp.asarray(p["Y"]), p["T"], p["bin_ms"],
+    )
+    inf1, pll1, vlb1, rho1 = vi_estep_from_arrays(*args, solver="newton",
+                                                  maxiter=40)
+    inf2, pll2, vlb2, _ = vi_estep_from_arrays(*args, solver="newton",
+                                               maxiter=10, rho_init=rho1)
+    np.testing.assert_allclose(float(vlb2), float(vlb1), atol=1e-7)
+
+
+def test_newton_solver_fit_matches_lbfgs_fit(problem):
+    """Full EM with vi_solver='newton' tracks the L-BFGS-solver fit at the
+    converged-bound level (both drive the same dual gradient to vi_gtol;
+    differences are optimizer-stopping noise amplified by EM chaos)."""
+    from pgpfa.em.fit import FitConfig, fit_loop
+
+    p = problem
+    init = {"C": p["C"], "d": p["d"], "tau": p["tau"]}
+    cfg_l = FitConfig(inference_method="variational", max_em_iter=3)
+    cfg_n = FitConfig(inference_method="variational", max_em_iter=3,
+                      vi_solver="newton", vi_maxiter=40, vi_maxiter_warm=25)
+    rl = fit_loop(init, p["Y"], p["bin_ms"], cfg_l)
+    rn = fit_loop(init, p["Y"], p["bin_ms"], cfg_n)
+    np.testing.assert_allclose(np.asarray(rn.post_loglik),
+                               np.asarray(rl.post_loglik), rtol=0, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(rn.var_lower_bound),
+                               np.asarray(rl.var_lower_bound), rtol=0, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(rn.C), np.asarray(rl.C), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(rn.tau), np.asarray(rl.tau), atol=1e-4)
+
+
 def test_vi_warm_start(problem):
     p = problem
     args = (
