@@ -77,6 +77,7 @@ from pgpfa.data.synthetic import dataset  # noqa: E402
 from pgpfa.data.init import initialize_params  # noqa: E402
 from pgpfa.data.batching import subsample_trials, seen_trials  # noqa: E402
 from pgpfa.em.fit import PPGPFAfit, FitConfig, FitResult, fit, fit_loop  # noqa: E402
+from pgpfa.em.isolated import fit_isolated  # noqa: E402
 from pgpfa.infer.laplace import laplace_estep, laplace_estep_from_arrays  # noqa: E402
 from pgpfa.infer.variational import vi_estep, vi_estep_from_arrays  # noqa: E402
 from pgpfa.infer.mcmc import posterior_mcmc, posterior_mcmc_batched, posterior_mcmc_from_arrays  # noqa: E402

@@ -36,7 +36,13 @@ openVariables = open_variables
 
 
 def save_checkpoint(filename: str, params, em_iter: int, warm=None, rng_key=None, extra=None):
-    """Checkpoint a fit's resumable state as an .npz."""
+    """Checkpoint a fit's resumable state as an .npz.
+
+    The write is ATOMIC (tmp file + ``os.replace``): the subprocess-isolated
+    driver (:func:`pgpfa.em.isolated.fit_isolated`) may kill a wedged worker
+    mid-write, and a torn checkpoint must not poison the retry."""
+    import os
+
     payload = {
         "C": np.asarray(params["C"]),
         "d": np.asarray(params["d"]),
@@ -50,7 +56,10 @@ def save_checkpoint(filename: str, params, em_iter: int, warm=None, rng_key=None
     if extra:
         for k, v in extra.items():
             payload["extra_" + k] = np.asarray(v)
-    np.savez(filename, **payload)
+    final = filename if filename.endswith(".npz") else filename + ".npz"
+    tmp = final + ".tmp.npz"  # np.savez appends .npz unless already suffixed
+    np.savez(tmp, **payload)
+    os.replace(tmp, final)
 
 
 def load_checkpoint(filename: str):
