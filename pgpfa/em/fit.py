@@ -105,9 +105,14 @@ class FitConfig:
     # 'newton' (damped dual-Newton via the Woodbury identity — one posterior-
     # precision factorization per iteration and ~10-20x fewer of them per
     # solve; see pgpfa/infer/variational.py:_dual_eval). Both drive the same
-    # dual gradient to vi_gtol, so converged-bound parity holds (tested);
-    # 'newton' is the Stevenson-scale bench path.
-    vi_solver: str = "lbfgs"
+    # dual gradient to vi_gtol, so converged-bound parity holds (tested).
+    # 'auto' (default) resolves per trial-batch width at trace time
+    # (pgpfa/infer/variational.py:resolve_vi_solver): Newton at widths >= 25
+    # where the big L-BFGS program is known to crash this TPU's worker —
+    # so a plain 100-trial Stevenson-scale variational fit works (and is
+    # ~47x faster than the trial-chunked L-BFGS workaround) out of the box —
+    # and the round-2..4-pinned L-BFGS path below that.
+    vi_solver: str = "auto"
     eps_noise: float = 0.001
     # long-trial (banded / block-tridiagonal) E-step: time-block size in bins,
     # or None for the dense path. Must divide T and satisfy
@@ -135,7 +140,7 @@ class FitConfig:
             raise ValueError(f"unknown em_mode {self.em_mode!r}")
         if self.online_update not in ONLINE_UPDATE_METHODS:
             raise ValueError(f"unknown online_update {self.online_update!r}")
-        if self.vi_solver not in ("lbfgs", "newton"):
+        if self.vi_solver not in ("auto", "lbfgs", "newton"):
             raise ValueError(f"unknown vi_solver {self.vi_solver!r}")
 
 
@@ -159,6 +164,12 @@ class FitResult(NamedTuple):
     cd_niter: jnp.ndarray = None  # (iters,)
     tau_niter: jnp.ndarray = None  # (iters, xdim)
     newton_iters: jnp.ndarray = None  # (iters, R) E-step Newton counts (0 for VI)
+    # (iters,) wall-clock seconds per EM iteration — host loop only, and only
+    # when fit_loop(record_iter_sec=True): recording forces a scalar readback
+    # per iteration (the only reliable sync through the tunnel, CLAUDE.md
+    # item 6), which costs the loop its async pipelining. NaN for iterations
+    # restored from a checkpoint (their wall time belongs to an earlier run).
+    iter_sec: np.ndarray = None
 
 
 # --------------------------------------------------------------------------
@@ -567,6 +578,7 @@ def fit_loop(
     resume_from: Optional[str] = None,
     batch_indices=None,
     stop_after: Optional[int] = None,
+    record_iter_sec: bool = False,
 ) -> FitResult:
     """Host-loop fit: the same jitted phase programs as :func:`fit`, driven by
     a Python loop (one device sync per phase per iteration, ~ms).
@@ -658,7 +670,10 @@ def fit_loop(
     end_iter = cfg.max_em_iter
     if stop_after is not None:
         end_iter = min(int(stop_after), cfg.max_em_iter)
+    iter_times = [float("nan")] * start_iter if record_iter_sec else None
     for n in range(start_iter, end_iter):
+        if record_iter_sec:
+            t_iter = time.time()
         if cfg.em_mode == BATCH:
             Yb = Y
             # secant-extrapolated warm start (see _fit_scan.step); first two
@@ -689,6 +704,12 @@ def fit_loop(
                 tau = full_tau
         seq.append((C, d, tau, pll, vlb, cd_c, tau_c,
                     det[0], det[1], det[2], _estep_iters(inf, Yb.shape[0])))
+        if record_iter_sec:
+            # scalar readbacks force completion of the E chain (pll) and the
+            # M chain (d) — block_until_ready does not reliably synchronize
+            # through the tunnel (CLAUDE.md item 6)
+            float(pll), float(jnp.sum(d))
+            iter_times.append(time.time() - t_iter)
         if checkpoint_path is not None and (
                 (n + 1) % checkpoint_every == 0 or n + 1 == end_iter):
             from pgpfa.utils.io import save_checkpoint
@@ -715,6 +736,7 @@ def fit_loop(
         cd_cost=stack(5), tau_cost=stack(6),
         cd_grad_norm=stack(7), cd_niter=stack(8), tau_niter=stack(9),
         newton_iters=stack(10),
+        iter_sec=None if iter_times is None else np.asarray(iter_times),
     )
 
 

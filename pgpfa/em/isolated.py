@@ -125,7 +125,8 @@ def fit_isolated(
                 )
 
     blob = np.load(os.path.join(workdir, _RESULT))
-    return FitResult(**{k: blob[k] for k in FitResult._fields})
+    # optional fields (e.g. iter_sec) are omitted from the blob when None
+    return FitResult(**{k: blob[k] for k in FitResult._fields if k in blob})
 
 
 def _worker(workdir: str, stop_after: int) -> None:
@@ -156,7 +157,8 @@ def _worker(workdir: str, stop_after: int) -> None:
         stop_after=stop_after,
     )
     if stop_after >= cfg.max_em_iter:
-        out = {k: np.asarray(getattr(res, k)) for k in FitResult._fields}
+        out = {k: np.asarray(getattr(res, k)) for k in FitResult._fields
+               if getattr(res, k) is not None}
         tmp = os.path.join(workdir, _RESULT + ".tmp.npz")
         np.savez(tmp, **out)
         os.replace(tmp, os.path.join(workdir, _RESULT))

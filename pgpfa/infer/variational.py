@@ -176,6 +176,32 @@ def _newton_vi_steps(carry, Y_tr, C, d, K, Kinv, ridge, n_iter, clip_step=15.0):
     return c
 
 
+#: Batched widths at and above this are known to crash this TPU's Mosaic
+#: worker when running the big chunked dual-L-BFGS program at Stevenson-like
+#: shapes (width probes: 10 survives, 25/50/100 crash; toy shapes are fine at
+#: any width). The far smaller dual-Newton program runs the full 100-trial
+#: batch in ONE dispatch, so ``'auto'`` switches to it at these widths.
+LBFGS_CRASH_WIDTH = 25
+
+
+def resolve_vi_solver(solver: str, n_trials: int) -> str:
+    """Resolve the ``'auto'`` dual-solver choice at trace time.
+
+    ``'auto'`` (the :class:`pgpfa.em.fit.FitConfig` default) picks the damped
+    dual-Newton solver for batched widths where the L-BFGS program is known to
+    crash this TPU's worker (``n_trials >= LBFGS_CRASH_WIDTH``) and the
+    round-2 L-BFGS path below that — both reach the same converged bound
+    (tested), so the switch only changes wall-clock, never results beyond
+    optimizer-stopping noise. Explicit ``'lbfgs'``/``'newton'`` are honored
+    verbatim.
+    """
+    if solver == "auto":
+        return "newton" if n_trials >= LBFGS_CRASH_WIDTH else "lbfgs"
+    if solver not in ("lbfgs", "newton"):
+        raise ValueError(f"unknown VI solver {solver!r}")
+    return solver
+
+
 def vi_posterior_mean(rho, Y_tr, C, K):
     """``-K C_big (lambda - ybar)`` in block form (reference ``funs/inference.py:193-194``)."""
     lmy = jnp.exp(rho) - Y_tr
@@ -213,6 +239,8 @@ def vi_estep_from_arrays(
             factorizations per solve for the same converged bound (parity
             pinned by tests/test_variational.py). Both reach the same
             stationary point (the same dual gradient is driven to ``gtol``).
+            ``'auto'`` picks per :func:`resolve_vi_solver` (Newton at batched
+            widths where the L-BFGS program crashes this TPU's worker).
 
     Returns:
         ``(InfRes, post_loglik, var_lower_bound, rho)`` mirroring the
@@ -223,6 +251,7 @@ def vi_estep_from_arrays(
     """
     R, ydim, _ = Y.shape
     xdim = C.shape[1]
+    solver = resolve_vi_solver(solver, R)
     K = rbf_kernel(tau, T, bin_size_ms, eps_noise)
     Kinv = blocks_inv(K)
 

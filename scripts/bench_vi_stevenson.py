@@ -40,7 +40,7 @@ def main():
                     vi_solver=solver,
                     vi_trial_chunk=10 if solver == "lbfgs" else None)
     t0 = time.time()
-    res = fit_loop(init, Y, ds.binSize, cfg)
+    res = fit_loop(init, Y, ds.binSize, cfg, record_iter_sec=True)
     pll = np.asarray(res.post_loglik)
     vlb = np.asarray(res.var_lower_bound)
     dt = time.time() - t0
@@ -50,6 +50,7 @@ def main():
         "solver": solver,
         "total_sec": dt,
         "sec_per_iter": dt / n_iters,
+        "iter_secs": [round(float(s), 3) for s in np.asarray(res.iter_sec)],
         "post_loglik": pll.tolist(),
         "var_lower_bound": vlb.tolist(),
     }), flush=True)

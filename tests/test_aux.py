@@ -42,6 +42,29 @@ def test_checkpoint_resume_mid_fit(tmp_path, setup):
     )
 
 
+def test_record_iter_sec(tmp_path, setup):
+    """fit_loop(record_iter_sec=True) returns per-EM-iteration wall clock
+    (finite, positive) without changing the fit; checkpoint-restored
+    iterations are NaN (their time belongs to an earlier run)."""
+    train, init = setup
+    cfg = FitConfig(max_em_iter=4)
+    a = fit_loop(init, train.Y, 20.0, cfg)
+    b = fit_loop(init, train.Y, 20.0, cfg, record_iter_sec=True)
+    assert a.iter_sec is None
+    t = np.asarray(b.iter_sec)
+    assert t.shape == (4,) and np.all(np.isfinite(t)) and np.all(t > 0)
+    np.testing.assert_allclose(np.asarray(b.C), np.asarray(a.C), atol=0)
+    # resume: restored iterations carry NaN timings, new ones are real
+    ck = os.path.join(tmp_path, "it.npz")
+    fit_loop(init, train.Y, 20.0, FitConfig(max_em_iter=2),
+             checkpoint_path=ck, checkpoint_every=2)
+    r = fit_loop(init, train.Y, 20.0, cfg, resume_from=ck,
+                 record_iter_sec=True)
+    t = np.asarray(r.iter_sec)
+    assert t.shape == (4,)
+    assert np.all(np.isnan(t[:2])) and np.all(np.isfinite(t[2:]))
+
+
 @pytest.mark.parametrize(
     "cfg",
     [

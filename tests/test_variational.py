@@ -39,6 +39,26 @@ def test_vi_matches_oracle(problem):
     np.testing.assert_allclose(np.asarray(inf.post_mean), np.asarray(means), atol=1e-4)
 
 
+def test_auto_solver_resolution():
+    """The FitConfig default 'auto' must pick the Newton solver exactly at
+    the batched widths where the L-BFGS program crashes this TPU's worker
+    (LBFGS_CRASH_WIDTH) and the round-2-pinned L-BFGS path below them."""
+    from pgpfa.em.fit import FitConfig
+    from pgpfa.infer.variational import LBFGS_CRASH_WIDTH, resolve_vi_solver
+
+    assert FitConfig().vi_solver == "auto"
+    assert resolve_vi_solver("auto", LBFGS_CRASH_WIDTH - 1) == "lbfgs"
+    assert resolve_vi_solver("auto", LBFGS_CRASH_WIDTH) == "newton"
+    assert resolve_vi_solver("auto", 100) == "newton"
+    # explicit choices are honored verbatim at any width
+    assert resolve_vi_solver("lbfgs", 100) == "lbfgs"
+    assert resolve_vi_solver("newton", 1) == "newton"
+    with pytest.raises(ValueError):
+        resolve_vi_solver("bogus", 10)
+    with pytest.raises(ValueError):
+        FitConfig(vi_solver="bogus")
+
+
 def test_dual_eval_gradient_matches_autodiff(problem):
     """The dual-Newton solver's analytic rho-space gradient (including the
     ridge correction to the logdet term) must equal autodiff through
