@@ -398,6 +398,9 @@ def secondary_configs(file=sys.stderr, iters: int = 10):
                    max_em_iter=iters), online_base),
         ("synthetic variational-EM (vmapped branchless dual L-BFGS)", synth, init_s,
          FitConfig(inference_method="variational", max_em_iter=iters), vi_base),
+        ("synthetic variational-EM (damped dual-Newton solver)", synth, init_s,
+         FitConfig(inference_method="variational", max_em_iter=iters,
+                   vi_solver="newton"), vi_base),
     ]
     for name, data, ip, cfg, base in jobs:
         try:
