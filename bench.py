@@ -450,10 +450,11 @@ def secondary_configs(file=sys.stderr, iters: int = 10):
         C32, d32, t32 = (a.astype(jnp.float32) for a in (C, dv, tv))
         Y32 = Yj[0].astype(jnp.float32)
         for name, fn, chains in [
-            # latency regime: a single sequential f64 chain is dominated by
-            # EMULATED f64 arithmetic and cannot beat the CPU reference at
-            # this toy shape (README "Known performance limits"); the batched
-            # rows below are the TPU regime.
+            # latency regime: the f64 chain's dependency chain is priced in
+            # EMULATED f64 likelihood evals; the speculative transition
+            # (default n_spec=8, infer/mcmc.py) resolves up to 8 bracket
+            # candidates per ONE batched eval and put this row above the
+            # reference in round 5 (was the one sub-1x row through round 4).
             ("MCMC elliptical-slice (1 chain, synthetic)",
              lambda: posterior_mcmc_from_arrays(C, dv, tv, Yj[0], synth.T,
                                                 float(synth.binSize), n_samples=n_samp), 1),
@@ -461,9 +462,13 @@ def secondary_configs(file=sys.stderr, iters: int = 10):
             # Sampling accuracy is Monte-Carlo-noise dominated; the f32
             # target perturbation (~1e-7 relative log-density) is far below
             # it (same argument as the f32 prior factor, infer/mcmc.py).
+            # n_spec=1: native-f32 evals are cheap enough that the plain
+            # sequential rejection loop beats speculation (measured 7.5k vs
+            # 6.5k samples/s — same story as the fixed-vs-adaptive toy row).
             ("MCMC elliptical-slice (1 chain, f32, synthetic)",
              lambda: posterior_mcmc_from_arrays(C32, d32, t32, Y32, synth.T,
-                                                float(synth.binSize), n_samples=n_samp), 1),
+                                                float(synth.binSize),
+                                                n_samples=n_samp, n_spec=1), 1),
             # adaptive = batched transitions with an all-lanes early exit
             # (~2-4 likelihood evals/sample instead of the fixed 40): took
             # the f64 row from 0.91x to ~2x baseline (VERDICT r3 item 3)

@@ -103,6 +103,93 @@ def elliptical_slice_step(key, x, log_lik_fn, chol_blocks, ll_cur=None):
     return x_out, ll
 
 
+def elliptical_slice_step_spec(key, x, log_lik_fn, chol_blocks, ll_cur,
+                               n_spec: int = 8, max_rounds: int = 128):
+    """Speculative ESS transition: up to ``n_spec`` bracket-shrink candidates
+    resolved per ONE batched likelihood call.
+
+    The insight (round 5, the fix for the last below-baseline bench row): the
+    ESS rejection loop's control flow is *deterministic given the uniforms* —
+    on rejection the bracket shrinks toward the current angle based only on
+    that angle's sign (``funs/mcmc.py:38-105`` loop structure), so with
+    precommitted uniform draws the whole sequence of candidate angles
+    ``phi_0, phi_1, ...`` (each assuming rejection of its predecessors) can be
+    computed upfront with scalar ops, and their proposals evaluated in ONE
+    batched likelihood call. The transition then accepts the FIRST candidate
+    above the slice level — by construction the same state the sequential
+    rejection loop would return from the same uniform stream.
+
+    Why this wins in the latency regime: a single sequential f64 chain on TPU
+    is bound by the dependency chain of emulated-f64 likelihood evaluations
+    (one (n, T) exp each, ~latency-priced). A batched eval of ``n_spec``
+    candidates costs roughly the same as one, so the ~2-3 sequential
+    evaluations a typical transition needs collapse to ~1. The rare
+    transition needing more than ``n_spec`` shrinks continues with further
+    speculative rounds under a ``lax.while_loop``.
+
+    Args:
+        ll_cur: precomputed ``log_lik_fn(x)`` (carried across the chain scan).
+        n_spec: candidates per batched evaluation. After ``k`` rejections the
+            un-accepted probability mass is ~``2^-k`` of the angle interval,
+            so 8 covers a transition with probability ~1 - 2^-8.
+        max_rounds: safety cap on speculative rounds (mirrors the sequential
+            path's 1000-iteration cap: ``n_spec * max_rounds = 1024``).
+    """
+    k_nu, k_h, k_phi, k_loop = jax.random.split(key, 4)
+    z = jax.random.normal(k_nu, x.shape, dtype=x.dtype)
+    nu = jnp.einsum("ktu,ku->kt", chol_blocks, z)
+
+    log_y = ll_cur + jnp.log(jax.random.uniform(k_h, dtype=x.dtype))
+    phi0 = jax.random.uniform(k_phi, dtype=x.dtype) * 2.0 * jnp.pi
+
+    ll_batch = jax.vmap(log_lik_fn)
+
+    def proposals(phis):  # (J,) -> (J, xdim, T)
+        return (x[None] * jnp.cos(phis)[:, None, None]
+                + nu[None] * jnp.sin(phis)[:, None, None])
+
+    def draw(carry, _):
+        # one deterministic shrink-and-draw step of the sequential rejection
+        # loop: shrink the bracket with the previous angle, draw the next
+        k, phi, lo, hi = carry
+        lo = jnp.where(phi < 0, phi, lo)
+        hi = jnp.where(phi >= 0, phi, hi)
+        k, sub = jax.random.split(k)
+        phi_new = jax.random.uniform(sub, dtype=x.dtype) * (hi - lo) + lo
+        return (k, phi_new, lo, hi), phi_new
+
+    def evaluate(angles):
+        Xc = proposals(angles)
+        lls = ll_batch(Xc)
+        acc = lls > log_y
+        idx = jnp.argmax(acc)  # first accepted candidate (0 if none)
+        return jnp.any(acc), Xc[idx], lls[idx]
+
+    # round 0: candidate 0 is the initial angle phi0 itself, candidates
+    # 1..n_spec-1 are the shrink sequence assuming its rejection
+    carry0 = (k_loop, phi0, phi0 - 2.0 * jnp.pi, phi0)
+    (k, phi_last, lo, hi), rest = jax.lax.scan(
+        draw, carry0, None, length=n_spec - 1)
+    got, x_out, ll_out = evaluate(jnp.concatenate([phi0[None], rest]))
+
+    def cond(carry):
+        _, _, _, _, _, _, done, it = carry
+        return (~done) & (it < max_rounds)
+
+    def body(carry):
+        k, phi, lo, hi, x_cur, ll_c, done, it = carry
+        (k, phi, lo, hi), angles = jax.lax.scan(
+            draw, (k, phi, lo, hi), None, length=n_spec)
+        got, x_new, ll_new = evaluate(angles)
+        return (k, phi, lo, hi,
+                jnp.where(got, x_new, x_cur), jnp.where(got, ll_new, ll_c),
+                done | got, it + 1)
+
+    carry = (k, phi_last, lo, hi, x_out, ll_out, got, jnp.asarray(1))
+    _, _, _, _, x_out, ll_out, _, _ = jax.lax.while_loop(cond, body, carry)
+    return x_out, ll_out
+
+
 def elliptical_slice_step_fixed(key, x, log_lik_fn, chol_blocks, n_shrink: int = 40):
     """Branchless ESS transition: a FIXED number of bracket-shrink proposals
     with accept-freeze masking (``lax.scan``; no while_loop, safe to ``vmap``
@@ -291,7 +378,8 @@ def posterior_mcmc_batched(
     return ESSResult(samples=samples, log_lik=lls)
 
 
-@partial(jax.jit, static_argnames=("n_samples", "T", "bin_size_ms", "eps_noise"))
+@partial(jax.jit, static_argnames=("n_samples", "T", "bin_size_ms", "eps_noise",
+                                   "n_spec"))
 def posterior_mcmc_from_arrays(
     C,
     d,
@@ -302,6 +390,7 @@ def posterior_mcmc_from_arrays(
     n_samples: int = 1000,
     seed: int = 0,
     eps_noise: float = 0.001,
+    n_spec: int = 8,
 ):
     """ESS chain over one trial's latent posterior (reference ``funs/mcmc.py:9-35``).
 
@@ -310,6 +399,12 @@ def posterior_mcmc_from_arrays(
     Poisson term only (the reference instead passes the full negative objective
     including the prior quadratic, which double-counts the prior; intentional
     fix, validated against Laplace moments in tests).
+
+    ``n_spec > 1`` (default 8) uses the speculative transition
+    (:func:`elliptical_slice_step_spec`): candidate angles are precomputed
+    from the deterministic shrink rule and evaluated in one batched
+    likelihood call — the latency-regime fix for the sequential chain.
+    ``n_spec = 1`` keeps the plain sequential rejection loop.
 
     Returns:
         :class:`ESSResult` with ``samples (n_samples, xdim, T)``.
@@ -325,7 +420,11 @@ def posterior_mcmc_from_arrays(
 
     def step(carry, key):
         x, ll = carry
-        x_new, ll_new = elliptical_slice_step(key, x, log_lik, chol, ll_cur=ll)
+        if n_spec > 1:
+            x_new, ll_new = elliptical_slice_step_spec(
+                key, x, log_lik, chol, ll_cur=ll, n_spec=n_spec)
+        else:
+            x_new, ll_new = elliptical_slice_step(key, x, log_lik, chol, ll_cur=ll)
         return (x_new, ll_new), (x_new, ll_new)
 
     keys = jax.random.split(jax.random.PRNGKey(seed), n_samples)

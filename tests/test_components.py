@@ -50,6 +50,54 @@ def test_mcmc_agrees_with_laplace(small):
     assert 0.65 < np.mean(ratio) < 1.35, f"sd ratio mean = {np.mean(ratio)}"
 
 
+def test_mcmc_speculative_step_equals_sequential(small):
+    """The speculative transition (round 5: up to n_spec bracket candidates
+    per ONE batched likelihood call) is a pure latency transformation — it
+    must reproduce the sequential rejection loop's samples BIT-EXACTLY from
+    the same key stream (same uniforms, same shrink rule, same first-accept
+    state), chained over many transitions so bracket-continuation paths
+    (no-accept-within-n_spec rounds) are exercised too."""
+    import jax
+
+    from pgpfa.infer.mcmc import (
+        _prior_chol,
+        elliptical_slice_step,
+        elliptical_slice_step_spec,
+    )
+    from pgpfa.models.params import rbf_kernel
+
+    train, _ = small
+    C = jnp.asarray(train.params["C"])
+    d = jnp.asarray(train.params["d"])
+    K = rbf_kernel(jnp.asarray(train.params["tau"]).ravel(), train.T, 20.0, 1e-3)
+    chol = _prior_chol(K, C.dtype)
+    Y = jnp.asarray(train.Y[0], dtype=jnp.float64)
+
+    def log_lik(X):
+        A = C @ X + d[:, None]
+        return jnp.vdot(Y, A) - jnp.sum(jnp.exp(A))
+
+    seq = jax.jit(lambda k, x, ll: elliptical_slice_step(
+        k, x, log_lik, chol, ll_cur=ll))
+    # n_spec=2 maximizes multi-round continuations per transition
+    spec = jax.jit(lambda k, x, ll: elliptical_slice_step_spec(
+        k, x, log_lik, chol, ll, n_spec=2))
+
+    x = jnp.zeros((C.shape[1], train.T), dtype=jnp.float64)
+    ll = log_lik(x)
+    xs, lls = x, ll
+    xq, llq = x, ll
+    for k in jax.random.split(jax.random.PRNGKey(3), 150):
+        xs, lls = seq(k, xs, lls)
+        xq, llq = spec(k, xq, llq)
+    assert float(jnp.max(jnp.abs(xs - xq))) == 0.0
+    # the carried log-likelihood is computed by a BATCHED reduction in the
+    # speculative path (vmapped log_lik) — reduction tiling differs from the
+    # unbatched eval by ~1 ULP (observed 5.7e-14 at |ll|~300), the CLAUDE.md
+    # item-12 rounding class; the accepted STATES above stay bit-equal
+    assert float(jnp.abs(lls - llq)) < 1e-11 * max(1.0, float(jnp.abs(lls)))
+
+
 def test_mcmc_f32_chain_agrees_with_laplace(small):
     """The f32 single chain (the bench latency-regime row) samples the same
     posterior: the f32 target perturbation (~1e-7 relative log-density) is
