@@ -1,128 +1,164 @@
-"""Measure a batch-tiled Pallas Cholesky against XLA's batched cholesky (f32).
+"""Measured probe: batch-outside-tile Pallas Cholesky vs XLA's batched kernel.
 
-VERDICT r4 item 9: before accepting the f32 E-step's ~15 ms batched-Cholesky
-floor (jnp.linalg.cholesky on (100, 700, 700) f32, <1%% MXU efficiency,
-~0.02 ms per column — CLAUDE.md item 14) as final, measure whether the
-per-column cost is ARITHMETIC (a real VPU floor every formulation shares) or
-XLA per-column overhead (dynamic-slice updates / fusion boundaries) that a
-Pallas kernel with fixed-shape masked column steps avoids.
+VERDICT r4 item 9: the f32 fast mode is latency-floor-bound on XLA's batched
+small-linalg ops (PERF.md floor table: f32 (100, 700, 700) Cholesky ~17.6 ms
+at <1% MXU efficiency). Round 4 rejected a batch-IN-LANES Pallas kernel (the
+trailing update can't use the MXU) and assessed the batch-OUTSIDE-tile
+variant unprofitable without building it. This script BUILDS and MEASURES
+that variant so the floor verdict rests on a number, not an assessment.
 
-The probe factors the design question down to its bottom level: an UNROLLED
-128-step masked Cholesky of the (B, 128, 128) diagonal blocks, batch-tiled
-into the grid, entirely VMEM-resident, with STATIC per-step masks (no
-dynamic slicing — each step j is its own traced op set):
+Kernel design (one grid step = G matrices, the batch rides the grid):
+  * each (D, D) matrix is padded to 768 (6 x 128 lanes) with an identity pad
+    block and staged whole in VMEM (2.36 MB f32);
+  * right-looking blocked factorization, 6 statically-unrolled 128-column
+    panels; the panel factor+trisolve is ONE fori_loop of 128 column steps
+    operating on the full (G, H, 128) panel tile — dynamic column/pivot
+    access is done with broadcasted-iota masks (Mosaic has no cheap dynamic
+    lane indexing), each step a masked rank-1 update (VPU);
+  * the O(D^3) trailing update B @ B^T is a static-shape dot_general per
+    panel (MXU) — this is the part the batch-in-lanes layout could not
+    MXU-map, and here it can.
 
-    l_j = where(row >= j, M[:, :, j] * rsqrt(M[:, j, j]), 0)
-    M  -= l_j l_j^T        (batched broadcast-multiply-subtract, VPU)
-    L   = where(col == j, l_j, L)
+Run on CPU (interpret-mode correctness) then on the TPU for timing:
+  python scripts/exp_pallas_chol.py --interpret   # CPU, validates vs XLA
+  python scripts/exp_pallas_chol.py               # real TPU, timed
 
-Every 700-wide blocked scheme (panel width 128) runs exactly 6 of these per
-matrix plus MXU trailing GEMMs (~3 us of MXU work per matrix — negligible),
-so the 128-block number bounds what ANY blocked Pallas Cholesky can achieve:
-
-    projected_full_chol ~ 6 * t(diag128) + panel solves (same op class) + MXU
-
-Compare against jnp.linalg.cholesky on the same (B, 128, 128) batch (XLA's
-floor: ~3 ms + 0.02 ms/col => ~5.6 ms) and on the real (B, 700, 700) shape.
-
-Usage: python scripts/exp_pallas_chol.py [B] [TB]
-Prints one JSON line; run on the real TPU.
+Result (2026-08-20, TPU v5 lite, f32 (100, 700, 700) SPD batch; PERF.md):
+the measured kernel numbers are recorded in PERF.md "Pallas Cholesky probe".
 """
 
-import json
-import os
-import sys
+from __future__ import annotations
+
+import argparse
+import functools
 import time
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-
-import jax
-import jax.numpy as jnp
 import numpy as np
-from jax.experimental import pallas as pl
-from jax.experimental.pallas import tpu as pltpu
 
-N = 128
+PANEL = 128
 
 
-def _chol128_kernel(a_ref, l_ref):
-    """Unrolled 128-step masked Cholesky of (TB, 128, 128) SPD tiles."""
-    m = a_ref[...]
-    tb = m.shape[0]
-    lout = jnp.zeros_like(m)
-    rows = jax.lax.broadcasted_iota(jnp.int32, (1, N, 1), 1)
-    for j in range(N):
-        # pivot rsqrt per batch lane: (TB, 1, 1)
-        piv = jax.lax.rsqrt(m[:, j : j + 1, j : j + 1])
-        col = m[:, :, j : j + 1] * piv  # (TB, 128, 1); row j lands sqrt(piv)
-        l = jnp.where(rows >= j, col, 0.0)
-        m = m - l * jnp.swapaxes(l, 1, 2)
-        lout = lout.at[:, :, j : j + 1].set(l)
-    l_ref[...] = lout
+def _chol_kernel(a_ref, out_ref, *, G: int, D: int):
+    """Blocked right-looking Cholesky of G padded (D, D) SPD matrices."""
+    import jax
+    import jax.numpy as jnp
+
+    # explicit f32: under global x64 (the pytest env) interpret-mode ref
+    # reads come back as f64 and the fori_loop carry dtypes diverge
+    A = a_ref[...].astype(jnp.float32)  # (G, D, D)
+    n_panels = D // PANEL
+    for k in range(n_panels):
+        H = D - k * PANEL
+        panel = A[:, k * PANEL:D, k * PANEL:(k + 1) * PANEL]  # (G, H, PANEL)
+        rows = jax.lax.broadcasted_iota(jnp.int32, (H, PANEL), 0)
+        lanes = jax.lax.broadcasted_iota(jnp.int32, (H, PANEL), 1)
+
+        def col_step(j, P, rows=rows, lanes=lanes):
+            colmask = lanes == j
+            col = jnp.sum(jnp.where(colmask[None], P, 0.0), axis=2)  # (G, H)
+            piv = jnp.sum(
+                jnp.where((rows == j) & colmask, P, 0.0), axis=(1, 2))  # (G,)
+            newcol = col * jax.lax.rsqrt(piv)[:, None]  # (G, H)
+            # rank-1 trailing update within the panel: entries (r, c>j) get
+            # -L[r,j]*L[c,j]; rows r<c land in the never-read upper triangle
+            upd = newcol[:, :, None] * newcol[:, None, :PANEL]
+            P = jnp.where(lanes[None] > j, P - upd, P)
+            return jnp.where(colmask[None], newcol[:, :, None], P)
+
+        panel = jax.lax.fori_loop(0, PANEL, col_step, panel)
+        A = A.at[:, k * PANEL:D, k * PANEL:(k + 1) * PANEL].set(panel)
+        if k + 1 < n_panels:
+            B = panel[:, PANEL:, :]  # (G, H-PANEL, PANEL)
+            upd = jax.lax.dot_general(
+                B, B, (((2,), (2,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32)
+            A = A.at[:, (k + 1) * PANEL:, (k + 1) * PANEL:].add(-upd)
+    out_ref[...] = A
 
 
-def chol128_pallas(A32, tb):
-    B = A32.shape[0]
+def pallas_chol(A32, group: int = 1, interpret: bool = False):
+    """Batched f32 Cholesky, batch on the Pallas grid (``group`` per step).
+
+    Returns the raw factor with garbage above the diagonal (callers
+    ``tril`` it); input is padded to a 128-multiple with an identity block.
+    """
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    A32 = A32.astype(jnp.float32)
+    Bt, D0, _ = A32.shape
+    D = -(-D0 // PANEL) * PANEL
+    pad = D - D0
+    if pad:
+        A32 = jnp.pad(A32, ((0, 0), (0, pad), (0, pad)))
+        eye_pad = jnp.pad(jnp.zeros((D0,), jnp.float32), (0, pad),
+                          constant_values=1.0)
+        A32 = A32 + jnp.diag(eye_pad)[None]
+    assert Bt % group == 0
+
     with jax.enable_x64(False):
-        return pl.pallas_call(
-            _chol128_kernel,
-            grid=(B // tb,),
-            in_specs=[pl.BlockSpec((tb, N, N), lambda b: (b, 0, 0),
+        out = pl.pallas_call(
+            functools.partial(_chol_kernel, G=group, D=D),
+            grid=(Bt // group,),
+            in_specs=[pl.BlockSpec((group, D, D), lambda b: (b, 0, 0),
                                    memory_space=pltpu.VMEM)],
-            out_specs=pl.BlockSpec((tb, N, N), lambda b: (b, 0, 0),
+            out_specs=pl.BlockSpec((group, D, D), lambda b: (b, 0, 0),
                                    memory_space=pltpu.VMEM),
-            out_shape=jax.ShapeDtypeStruct((B, N, N), jnp.float32),
+            out_shape=jax.ShapeDtypeStruct((Bt, D, D), jnp.float32),
+            input_output_aliases={0: 0},
+            interpret=interpret,
         )(A32)
-
-
-def _time(fn, *args, reps=5):
-    r = fn(*args)
-    float(jnp.sum(r))  # scalar readback sync (CLAUDE.md item 6)
-    t0 = time.time()
-    for _ in range(reps):
-        r = fn(*args)
-        float(jnp.sum(r))
-    return (time.time() - t0) / reps * 1e3
+    return out[:, :D0, :D0]
 
 
 def main():
-    B = int(sys.argv[1]) if len(sys.argv) > 1 else 96
-    TB = int(sys.argv[2]) if len(sys.argv) > 2 else 8
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--interpret", action="store_true")
+    ap.add_argument("--batch", type=int, default=100)
+    ap.add_argument("--dim", type=int, default=700)
+    ap.add_argument("--groups", type=int, nargs="*", default=[1, 2])
+    args = ap.parse_args()
+
+    import jax
+
+    if args.interpret:
+        jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+
+    print("device:", jax.devices()[0])
     rng = np.random.default_rng(0)
+    B, D = (4, 260) if args.interpret else (args.batch, args.dim)
+    M = rng.normal(size=(B, D, D)).astype(np.float32) / np.sqrt(D)
+    A = jnp.asarray(M @ np.swapaxes(M, 1, 2) + 0.5 * np.eye(D, dtype=np.float32))
 
-    S = rng.standard_normal((B, N, N)).astype(np.float32)
-    A = jnp.asarray(S @ np.swapaxes(S, 1, 2) + N * np.eye(N, dtype=np.float32))
+    ref = jax.jit(jnp.linalg.cholesky)
+    L_ref = ref(A)
+    float(jnp.sum(L_ref))  # sync
 
-    f_pal = jax.jit(lambda a: chol128_pallas(a, TB))
-    f_xla = jax.jit(jnp.linalg.cholesky)
-
-    Lp = f_pal(A)
-    Lx = f_xla(A)
-    err = float(jnp.max(jnp.abs(Lp - Lx)))
-
-    t_pal = _time(f_pal, A)
-    t_xla = _time(f_xla, A)
-
-    # the real bottleneck shape for reference
-    D = 700
-    S7 = rng.standard_normal((B, D, 64)).astype(np.float32)
-    A7 = jnp.asarray(S7 @ np.swapaxes(S7, 1, 2) + D * np.eye(D, dtype=np.float32))
-    t_xla700 = _time(jax.jit(jnp.linalg.cholesky), A7, reps=3)
-
-    out = {
-        "B": B, "tile_batch": TB,
-        "pallas_chol128_ms": round(t_pal, 3),
-        "xla_chol128_ms": round(t_xla, 3),
-        "speedup_128": round(t_xla / t_pal, 2),
-        "max_abs_err_vs_xla": err,
-        "xla_chol700_ms": round(t_xla700, 3),
-        # 700 = 6 panels of 128; panel solves are the same masked-column op
-        # class over (rest, 128) (~2x the per-step elements on average);
-        # trailing updates are MXU GEMMs (~3 us/matrix). A conservative
-        # whole-kernel projection is therefore ~3x the 6-diag-block time.
-        "projected_pallas_chol700_ms": round(3 * 6 * t_pal, 3),
-    }
-    print(json.dumps(out), flush=True)
+    for g in args.groups:
+        try:
+            f = jax.jit(functools.partial(pallas_chol, group=g,
+                                          interpret=args.interpret))
+            L = jnp.tril(f(A))
+            err = float(jnp.max(jnp.abs(L - jnp.tril(L_ref))))
+            scale = float(jnp.max(jnp.abs(L_ref)))
+            print(f"group={g}: max abs diff vs XLA = {err:.3e} "
+                  f"(rel {err / scale:.1e})")
+            if args.interpret:
+                continue
+            for name, fn in [("pallas", lambda: jnp.sum(f(A))),
+                             ("xla", lambda: jnp.sum(ref(A)))]:
+                float(fn())  # warm
+                t0 = time.time()
+                reps = 5
+                for _ in range(reps):
+                    float(fn())  # scalar readback per rep (CLAUDE.md item 6)
+                dt = (time.time() - t0) / reps * 1e3
+                print(f"  group={g} {name}: {dt:.2f} ms/call")
+        except Exception as e:  # noqa: BLE001 — record the failure mode
+            print(f"group={g}: FAILED: {type(e).__name__}: {str(e)[:300]}")
 
 
 if __name__ == "__main__":
